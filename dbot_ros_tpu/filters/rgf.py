@@ -1,0 +1,299 @@
+"""Robust multi-sensor Gaussian filter on SE(3) (the second estimator).
+
+Replaces the fl Gaussian-filter stack the reference's Gaussian tracker is
+built from (F2–F5: ``gaussian_filter_nonlinear.hpp``,
+``multi_sensor_gaussian_filter.hpp``, ``robust_multi_sensor_gaussian_
+filter.hpp``; Issac et al., ICRA 2016): every (downsampled) depth pixel is
+an independent scalar sensor; the update is a sigma-point statistical
+linearization with per-pixel body-tail robustification.
+
+TPU-first redesign of the update (SURVEY.md P2): instead of the reference's
+*sequential* per-pixel scalar updates, one **joint information-form update**
+over all pixels — a handful of MXU matmuls + one 12×12 solve instead of
+4800 dependent scalar steps:
+
+    Λ' = P⁻¹ + Σ_c H_cᵀ diag(1/R̂_c) H_c     (channels c; H = P_xyᵀ P_lin⁻¹)
+    δμ = Λ'⁻¹ Σ_c H_cᵀ diag(1/R̂_c) ν_c      (iterated, trust-region-clipped)
+
+Structural upgrades over a naive sigma-point GF (each one fixes a failure
+mode observed on synthetic scenes — see the update() docstring):
+  1. Two measurement channels per pixel: hit-conditional surface *depth*
+     and the *silhouette* (hit-indicator) — keeps lateral pose observable.
+  2. A learned per-pixel background depth map closes the generative model:
+     each observed depth is assigned to {object, background, occluder,
+     clutter}; responsibilities weight the channels (an occluder-explained
+     pixel informs neither — the GF analog of the PF's occlusion chain).
+  3. Linearization-spread floor: sigma points are spread at least ~1 pixel
+     so silhouette gradients survive belief contraction.
+  4. Iterated (IPLF-style) update with trust-region steps, since the
+     render is discontinuous in the pose.
+
+The render path is shared with the particle filter: the 25 sigma states are
+just a tiny particle batch through ops/raycast (the reference's D5 sharing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from dbot_ros_tpu.models import beam as beam_mod
+from dbot_ros_tpu.models.transition import (TransitionParams,
+                                            process_noise_cov,
+                                            transition_mean)
+from dbot_ros_tpu.ops import sigma_points as sp
+from dbot_ros_tpu.utils import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GaussianBelief:
+    """Gaussian belief: mean state (13,) + tangent covariance (12, 12).
+
+    ``background`` is a per-pixel scene-depth estimate (N,) learned online
+    from pixels the object does not cover. Sigma points whose ray misses
+    the object predict the *background* depth — which makes silhouette
+    edges smoothly observable to the statistical linearization (both
+    "object should cover this pixel" and "object should not") instead of
+    being discontinuities the robust weighting has to reject. The
+    reference GF has no such term and is correspondingly weaker laterally;
+    this is a TPU-cheap structural improvement, not extra cost per step.
+    """
+
+    mean: jax.Array
+    cov: jax.Array
+    background: jax.Array
+    key: jax.Array  # kept for API symmetry with ParticleBelief
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RgfStepInfo:
+    mean_state: jax.Array     # (13,)
+    mean_beta: jax.Array      # average body responsibility (inlier rate)
+    innovation_rms: jax.Array  # RMS depth innovation over inlier pixels
+
+
+def init_belief(key, initial_pose, num_pixels: int = 0, first_frame=None,
+                pos_sigma=0.02, rot_sigma=0.1, vel_sigma=0.1,
+                background_depth=5.0) -> GaussianBelief:
+    """Gaussian init around the given pose (ref: GaussianTracker init).
+
+    The background map starts from ``first_frame`` where valid (a depth
+    frame taken at/before initialization), else at ``background_depth``;
+    it keeps learning online during tracking.
+    """
+    mean = jnp.zeros((13,), jnp.float32).at[:7].set(initial_pose)
+    diag = jnp.concatenate([
+        jnp.full((3,), pos_sigma ** 2), jnp.full((3,), rot_sigma ** 2),
+        jnp.full((6,), vel_sigma ** 2)]).astype(jnp.float32)
+    if first_frame is not None:
+        bg = jnp.where(jnp.isfinite(first_frame), first_frame,
+                       jnp.float32(background_depth))
+    else:
+        bg = jnp.full((num_pixels,), jnp.float32(background_depth))
+    return GaussianBelief(mean=mean, cov=jnp.diag(diag), background=bg,
+                          key=key)
+
+
+def predict(belief: GaussianBelief, dt, params: TransitionParams,
+            ut=None) -> GaussianBelief:
+    """UKF prediction through the damped-Wiener dynamics."""
+    ut = ut or sp.default_ut_params()
+    states, _, wm, wc = sp.sigma_points(belief.mean, belief.cov, **ut)
+    prop = transition_mean(states, dt, params)
+    mean, cov, _ = sp.reconstruct_moments(prop, prop[0], wm, wc)
+    cov = cov + process_noise_cov(dt, params, cov.dtype)
+    return GaussianBelief(mean=mean, cov=cov, background=belief.background,
+                          key=belief.key)
+
+
+def _gauss(y, m, var):
+    var = jnp.maximum(var, 1e-12)
+    d = y - m
+    return jnp.exp(-0.5 * d * d / var) / jnp.sqrt(2.0 * jnp.pi * var)
+
+
+def _occluder_tail(y, front, bp):
+    """Clutter density: uniform + truncated-exponential in front of the
+    expected scene surface (same shape as the PF beam model's occluded
+    branch, models/beam.py density_occluded)."""
+    uniform = 1.0 / (bp.max_depth - bp.min_depth)
+    lam = bp.exponential_rate
+    span = jnp.maximum(
+        jnp.clip(front, bp.min_depth, bp.max_depth) - bp.min_depth, 1e-6)
+    norm = jnp.maximum(1.0 - jnp.exp(-lam * span), 1e-6)
+    in_front = (y >= bp.min_depth) & (y <= front)
+    exp_dens = jnp.where(
+        in_front, lam * jnp.exp(-lam * (y - bp.min_depth)) / norm, 0.0)
+    return 0.5 * uniform + 0.5 * exp_dens
+
+
+def update(belief: GaussianBelief, z_obs, render_fn,
+           bp: beam_mod.BeamParams, ut=None, iterations: int = 3,
+           trust_sigma: float = 1.0, lin_floor_pos: float = 0.008,
+           lin_floor_rot: float = 0.04, bg_sigma: float = 0.02):
+    """Robust multi-sensor measurement update (see module docstring).
+
+    Design notes, each grounded in a failure mode this replaces:
+    * Folding misses into the depth moments (as max_depth or as the
+      background) poisons the linearization — mostly-miss pixels observing
+      the scene look like huge inliers, or every background pixel exerts a
+      phantom-mass tug that biases the pose under asymmetric occlusion.
+      Hence depth moments are *hit-conditional* and silhouette information
+      flows through its own indicator channel.
+    * An occluder explains measurements in front of the expected surface;
+      such pixels get r_obj ≈ r_bg ≈ 0 and inform neither channel, so a
+      transient occluder neither drags the pose nor poisons the
+      background map (which also learns slowly, EMA 0.2).
+
+    Args:
+      render_fn: poses (S, 7) → predicted depths (S, N); inf = miss.
+    """
+    ut = ut or sp.default_ut_params()
+    P = belief.cov + 1e-10 * jnp.eye(12, dtype=belief.cov.dtype)
+    P_inv = jnp.linalg.inv(P)
+    step_cap = trust_sigma * jnp.sqrt(jnp.diagonal(P))
+    bg = belief.background
+    bg_sigma_sq = jnp.float32(bg_sigma) ** 2
+
+    # Linearization spread floor: once the belief contracts below one
+    # pixel's metric size, all sigma points agree on every pixel and the
+    # silhouette gradient vanishes — the filter goes blind laterally and
+    # drifts (velocity feedback turns that into a runaway). Widening only
+    # the *linearization* covariance (never the belief) keeps edges
+    # observable at sub-pixel convergence; H stays a valid linearization,
+    # just computed over a wider probe region.
+    floor = jnp.concatenate([
+        jnp.full((3,), lin_floor_pos ** 2),
+        jnp.full((3,), lin_floor_rot ** 2),
+        jnp.zeros((6,))]).astype(P.dtype)
+    P_lin = P + jnp.diag(floor)
+
+    def linearize(mean):
+        """Two measurement channels per pixel from one sigma-point render.
+
+        Depth channel: the object's surface depth, conditional on the ray
+        hitting the object (moments over hit sigma points only).
+        Silhouette channel: the hit indicator itself — `p_hit(x)` is a
+        smooth function of the pose over the sigma spread, so silhouette
+        edges give symmetric grow/shrink information.
+
+        A per-pixel generative mixture assigns the observed depth to
+        {object body, background, occluder, clutter}; the responsibilities
+        weight the channels: an occluder-explained pixel informs neither
+        (the object may or may not be behind it) — exactly the latent
+        occlusion semantics the PF gets from its occlusion chain (D10).
+        """
+        states, deltas, wm, wc = sp.sigma_points(mean, P_lin, **ut)
+        Y_raw = render_fn(states[..., :7])              # (S, N)
+        hit = jnp.isfinite(Y_raw)
+        hitf = hit.astype(jnp.float32)
+        Y = jnp.where(hit, Y_raw, 0.0)
+
+        # --- hit-conditional depth moments
+        wm_hit = wm[:, None] * hitf                     # (S, N)
+        p_hit = jnp.sum(wm_hit, axis=0)                 # (N,)
+        safe_p = jnp.maximum(p_hit, 1e-6)
+        m = jnp.sum(wm_hit * Y, axis=0) / safe_p
+        Yc = jnp.where(hit, Y - m[None, :], 0.0)
+        s_yy = jnp.sum(wm_hit * Yc * Yc, axis=0) / safe_p
+        Pxy_d = jnp.einsum("sn,st,sn->tn", wm_hit, deltas, Yc,
+                           precision=jax.lax.Precision.HIGHEST) / safe_p
+
+        # --- silhouette (hit-indicator) moments
+        hc = hitf - p_hit[None, :]
+        Pxy_s = jnp.einsum("s,st,sn->tn", wm, deltas, hc,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        # --- generative mixture responsibilities at the observed depth
+        R = beam_mod.depth_sigma(m, bp) ** 2
+        valid = jnp.isfinite(z_obs) & (z_obs >= bp.min_depth) \
+            & (z_obs <= bp.max_depth)
+        y = jnp.where(valid, z_obs, 1.0)
+        c_obj = p_hit * (1.0 - bp.tail_weight) \
+            * _gauss(y, m, s_yy + R)
+        c_bg = (1.0 - p_hit) * (1.0 - bp.tail_weight) \
+            * _gauss(y, bg, bg_sigma_sq + R)
+        front = p_hit * m + (1.0 - p_hit) * bg
+        c_clut = bp.tail_weight * _occluder_tail(y, front, bp)
+        total = jnp.maximum(c_obj + c_bg + c_clut, 1e-30)
+        r_obj = jnp.where(valid, c_obj / total, 0.0)
+        r_bg = jnp.where(valid, c_bg / total, 0.0)
+
+        # --- depth channel
+        H_d = jnp.linalg.solve(P_lin, Pxy_d).T          # (N, 12)
+        expl_d = jnp.einsum("nt,tn->n", H_d, Pxy_d)
+        U_d = jnp.maximum(s_yy - expl_d, 0.0)
+        iR_d = r_obj / (R + U_d + 1e-12)
+        innov_d = jnp.where(valid, y - m, 0.0)
+
+        # --- silhouette channel: observed foreground fraction vs p_hit
+        H_s = jnp.linalg.solve(P_lin, Pxy_s).T          # (N, 12)
+        o_obs = r_obj / jnp.maximum(r_obj + r_bg, 1e-6)
+        var_s = p_hit * (1.0 - p_hit) + 0.05
+        iR_s = (r_obj + r_bg) / var_s
+        innov_s = jnp.where(valid, o_obs - p_hit, 0.0)
+
+        return (H_d, iR_d, innov_d), (H_s, iR_s, innov_s), r_obj, p_hit
+
+    def information(channels):
+        Lam = P_inv
+        rhs = jnp.zeros((12,), P.dtype)
+        for H, iR, innov in channels:
+            Ht_iR = H.T * iR[None, :]                   # (12, N)
+            Lam = Lam + Ht_iR @ H
+            rhs = rhs + Ht_iR @ innov
+        return 0.5 * (Lam + Lam.T), rhs
+
+    # Iterated statistically-linearized update (IPLF-style): re-render at
+    # the running mean; each tangent step is trust-region-clipped to the
+    # prior sigma ellipsoid (the linearization is meaningless beyond the
+    # sigma-point spread — the measurement is discontinuous in the pose).
+    mean = belief.mean
+    chans = r_obj = p_hit = None
+    for _ in range(iterations):
+        chan_d, chan_s, r_obj, p_hit = linearize(mean)
+        chans = (chan_d, chan_s)
+        Lam, rhs = information(chans)
+        # Gauss-Newton step around the current mean: account for the
+        # displacement already taken from the prior mean.
+        d0 = se3.state_boxminus(mean, belief.mean)
+        delta = jnp.linalg.solve(Lam, rhs - P_inv @ d0)
+        delta = jnp.clip(delta, -step_cap, step_cap)
+        mean = se3.state_boxplus(mean, delta)
+
+    Lam, _ = information(chans)
+    cov_new = jnp.linalg.inv(Lam)
+    cov_new = 0.5 * (cov_new + cov_new.T)
+
+    # Learn the background where the object (almost surely) is not. The
+    # rate is deliberately slow (EMA 0.2) so a transient occluder is not
+    # instantly adopted as scene — persistent scene changes still converge
+    # in ~10 frames.
+    learn = (p_hit < 0.05) & jnp.isfinite(z_obs)
+    bg_new = jnp.where(learn, 0.8 * bg + 0.2
+                       * jnp.where(jnp.isfinite(z_obs), z_obs, bg), bg)
+
+    nb = GaussianBelief(mean=mean, cov=cov_new, background=bg_new,
+                        key=belief.key)
+    (H_d, iR_d, innov_d), _ = chans
+    w = r_obj / jnp.maximum(jnp.sum(r_obj), 1e-6)
+    # mean object-responsibility over pixels the belief expects to be
+    # object — the inlier-rate diagnostic (drops under occlusion).
+    on_obj = p_hit > 0.5
+    info = RgfStepInfo(
+        mean_state=mean,
+        mean_beta=jnp.sum(r_obj * on_obj) / jnp.maximum(
+            jnp.sum(on_obj.astype(jnp.float32)), 1.0),
+        innovation_rms=jnp.sqrt(jnp.sum(w * innov_d * innov_d)))
+    return nb, info
+
+
+def rgf_step(belief: GaussianBelief, z_obs, render_fn, trans_params, dt,
+             bp: beam_mod.BeamParams, ut=None, **update_kwargs):
+    """predict ∘ update — one frame (ref: GaussianTracker::on_track)."""
+    belief = predict(belief, dt, trans_params, ut)
+    return update(belief, z_obs, render_fn, bp, ut, **update_kwargs)

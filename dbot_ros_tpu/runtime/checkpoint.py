@@ -1,0 +1,48 @@
+"""Belief checkpoint / resume (aux subsystem, SURVEY.md §5).
+
+The reference has none — tracker state is ephemeral and re-initialization
+is interactive. Here the belief pytree (particles, weights, occlusion map,
+RNG key / Gaussian moments, background map) serializes to one .npz; resume
+is restoring the pytree. Used by the streaming node for periodic
+checkpoints and by long evaluations for warm restarts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from dbot_ros_tpu.filters.rbcpf import ParticleBelief
+from dbot_ros_tpu.filters.rgf import GaussianBelief
+
+_KINDS = {"particle": ParticleBelief, "gaussian": GaussianBelief}
+
+
+def save_belief(path: str, belief) -> None:
+    if isinstance(belief, ParticleBelief):
+        kind = "particle"
+    elif isinstance(belief, GaussianBelief):
+        kind = "gaussian"
+    else:
+        raise TypeError(f"unknown belief type {type(belief)!r}")
+    arrays = {f.name: np.asarray(getattr(belief, f.name))
+              for f in dataclasses.fields(belief)}
+    np.savez(path, __kind__=np.array(kind), **arrays)
+
+
+def load_belief(path: str):
+    data = np.load(path, allow_pickle=False)
+    kind = str(data["__kind__"])
+    cls = _KINDS[kind]
+    import jax.numpy as jnp
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        arr = jnp.asarray(data[f.name])
+        if f.name == "key":
+            # PRNG keys round-trip as raw uint32 key data.
+            arr = jax.random.wrap_key_data(arr.astype(jnp.uint32)) \
+                if arr.dtype != jnp.uint32 else arr
+        kwargs[f.name] = arr
+    return cls(**kwargs)

@@ -1,0 +1,133 @@
+"""Particle tracker facade + builder (ref D19 ParticleTracker + D21
+ParticleTrackerBuilder).
+
+Host-side stateful wrapper around the jitted RBC-PF step: owns the belief
+pytree, the compiled step, moving-average output smoothing, and the
+model↔center frame conversions. Everything device-side lives in
+filters/rbcpf.py; this class is the user-facing surface a reference user
+would reach for (``tracker.initialize(poses); tracker.track(depth)``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dbot_ros_tpu import config as cfg
+from dbot_ros_tpu.filters import rbcpf
+from dbot_ros_tpu.models import beam, occlusion, transition
+from dbot_ros_tpu.models.sensor import make_rb_sensor
+from dbot_ros_tpu.trackers import base
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import (CameraModel, default_kinect_camera,
+                                       make_camera, preprocess_depth)
+from dbot_ros_tpu.utils.mesh import TriangleMesh, load_obj
+
+
+def build_camera(camera_cfg: cfg.CameraConfig) -> CameraModel:
+    if camera_cfg.camera_matrix is None:
+        return default_kinect_camera(camera_cfg.downsampling_factor)
+    h, w = camera_cfg.resolution
+    return make_camera(np.asarray(camera_cfg.camera_matrix, float),
+                       h, w, camera_cfg.downsampling_factor)
+
+
+def build_meshes(object_cfg: cfg.ObjectConfig) -> List[TriangleMesh]:
+    return [load_obj(p, center=object_cfg.center_object,
+                     scale=object_cfg.scale)
+            for p in object_cfg.mesh_paths()]
+
+
+class ParticleTracker:
+    """User-facing particle tracker (one or more rigid objects).
+
+    Build from a config (like the reference's builder), or pass meshes and
+    camera directly for programmatic use.
+    """
+
+    def __init__(self, config: cfg.ParticleTrackerConfig,
+                 meshes: Optional[List[TriangleMesh]] = None,
+                 camera: Optional[CameraModel] = None):
+        self.config = config
+        self.camera = camera if camera is not None else build_camera(
+            config.camera)
+        self.meshes = meshes if meshes is not None else build_meshes(
+            config.object)
+        if not self.meshes:
+            raise ValueError("particle tracker needs at least one mesh")
+
+        obs = config.observation
+        self.beam_params = beam.make_beam_params(
+            tail_weight=obs.tail_weight, model_sigma=obs.model_sigma,
+            sigma_factor=obs.sigma_factor, min_depth=obs.min_depth,
+            max_depth=obs.max_depth, exponential_rate=obs.exponential_rate)
+        self.occ_params = occlusion.make_occlusion_params(
+            obs.p_occluded_visible, obs.p_occluded_occluded,
+            obs.initial_occlusion_prob)
+        tr = config.transition
+        self.trans_params = transition.make_transition_params(
+            tr.linear_acceleration_sigma, tr.angular_acceleration_sigma,
+            tr.damping)
+        self.sensor = make_rb_sensor(
+            self.meshes, self.camera, self.beam_params, self.occ_params,
+            frame_rate=config.camera.frame_rate, backend=config.backend)
+
+        self._dt = 1.0 / config.camera.frame_rate
+        self._step = jax.jit(functools.partial(
+            rbcpf.rbcpf_step,
+            loglik_fn=self.sensor,
+            trans_params=self.trans_params,
+            dt=self._dt,
+            max_kl_divergence=config.max_kl_divergence))
+        self.belief: Optional[rbcpf.ParticleBelief] = None
+        self._smoothed = None  # (K, 7) centered-frame smoothed poses
+
+    @property
+    def centers(self):
+        return jnp.stack([m.center for m in self.meshes])  # (K, 3)
+
+    def initialize(self, poses_model):
+        """Set the initial object pose(s), in the original mesh frame.
+
+        Ref: ObjectTracker::initialize + ParticleTracker::on_initialize.
+        """
+        poses_model = jnp.asarray(poses_model, jnp.float32)
+        if poses_model.ndim == 1:
+            poses_model = poses_model[None]
+        poses_center = base.to_center_frame(poses_model, self.centers)
+        key = jax.random.PRNGKey(self.config.seed)
+        self.belief = rbcpf.init_belief(
+            key, poses_center, self.config.evaluation_count,
+            self.camera.num_pixels,
+            float(self.occ_params.initial_occlusion_prob))
+        self._smoothed = poses_center
+
+    def restore(self, belief: rbcpf.ParticleBelief):
+        """Resume from a checkpointed belief (runtime/checkpoint.py)."""
+        from dbot_ros_tpu.ops import resample as rs
+        self.belief = belief
+        ln, _ = rs.normalize_log_weights(belief.log_weights)
+        w = jnp.exp(ln)
+        mean = jax.vmap(lambda s: se3.states_mean(s, w),
+                        in_axes=1)(belief.states)
+        self._smoothed = mean[:, :7]
+
+    def track(self, depth_image):
+        """One frame → (poses (K, 7) in model frame, StepInfo).
+
+        Ref: ObjectTrackerRos::track → ObjectTracker::track (D18/R5).
+        """
+        if self.belief is None:
+            raise RuntimeError("call initialize(poses) before track()")
+        z = preprocess_depth(jnp.asarray(depth_image,
+                                         jnp.float32).reshape(-1))
+        self.belief, info = self._step(self.belief, z)
+        new_poses = info.mean_state[:, :7]
+        self._smoothed = base.moving_average_pose(
+            self._smoothed, new_poses,
+            self.config.moving_average_update_rate)
+        return base.to_model_frame(self._smoothed, self.centers), info

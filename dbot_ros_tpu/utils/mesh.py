@@ -202,6 +202,22 @@ def box_mesh(sx=0.1, sy=0.1, sz=0.1, center: bool = True,
     return make_mesh(v, f, center=center, pad_to=pad_to)
 
 
+def l_shape_mesh(center: bool = True, pad_to: int = 128,
+                 scale: float = 1.0) -> TriangleMesh:
+    """Asymmetric L-shaped compound (two boxes): a fully pose-observable
+    test object — a plain box has near-symmetries that make some pose
+    directions unidentifiable from depth alone."""
+    m1 = box_mesh(0.12 * scale, 0.04 * scale, 0.06 * scale, center=False)
+    m2 = box_mesh(0.04 * scale, 0.08 * scale, 0.06 * scale, center=False)
+    v1 = np.asarray(m1.vertices[: m1.num_vertices], np.float64)
+    f1 = np.asarray(m1.faces[: m1.num_triangles], np.int64)
+    v2 = np.asarray(m2.vertices[: m2.num_vertices], np.float64) + np.array(
+        [-0.04, 0.06, 0.0]) * scale
+    v = np.concatenate([v1, v2])
+    f = np.concatenate([f1, f1 + len(v1)])
+    return make_mesh(v, f, center=center, pad_to=pad_to)
+
+
 def icosphere_mesh(radius=0.05, subdivisions=2, center: bool = True,
                    pad_to: int = 128) -> TriangleMesh:
     """Icosphere (20 · 4^s triangles) for curvature-bearing test scenes."""

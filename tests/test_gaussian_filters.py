@@ -1,0 +1,235 @@
+"""Gaussian filter stack tests (ref: fl/test gaussian_filter suites).
+
+Includes the fl-style cross-filter consistency checks: sigma-point moment
+recovery, UKF-vs-KF agreement on linear dynamics, robustness to outliers,
+and the RGF closed-loop tracking test on synthetic depth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dbot_ros_tpu.filters import kf, pf, rgf
+from dbot_ros_tpu.models import beam, transition
+from dbot_ros_tpu.ops import sigma_points as sp
+from dbot_ros_tpu.ops.raycast import raycast_depth
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import make_camera
+from dbot_ros_tpu.utils.mesh import box_mesh, l_shape_mesh
+
+
+# ------------------------------------------------------------- sigma points
+
+def test_sigma_points_recover_moments():
+    key = jax.random.PRNGKey(0)
+    mean = se3.state_identity().at[:3].set(jnp.array([0.1, -0.2, 0.5]))
+    A = jax.random.normal(key, (12, 12)) * 0.05
+    cov = A @ A.T + 0.01 * jnp.eye(12)
+    states, deltas, wm, wc = sp.sigma_points(mean, cov)
+    assert states.shape == (25, 13)
+    m2, c2, _ = sp.reconstruct_moments(states, mean, wm, wc)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(cov), atol=1e-3)
+
+
+def test_sigma_point_weights_sum_to_one():
+    wm, wc, _ = sp.unscented_weights(12, 1.0, 2.0, 1.0)
+    np.testing.assert_allclose(float(jnp.sum(wm)), 1.0, atol=1e-6)
+
+
+# ----------------------------------------------------------------- linear KF
+
+def _lin_system():
+    dt = 0.1
+    A = jnp.array([[1.0, dt], [0.0, 1.0]])
+    Q = 0.01 * jnp.array([[dt ** 3 / 3, dt ** 2 / 2], [dt ** 2 / 2, dt]])
+    H = jnp.array([[1.0, 0.0]])
+    R = jnp.array([[0.04]])
+    return A, Q, H, R
+
+
+def test_kf_converges_on_constant_state():
+    A, Q, H, R = _lin_system()
+    A = jnp.eye(2)
+    Q = 1e-6 * jnp.eye(2)
+    b = kf.LinearBelief(mean=jnp.zeros(2), cov=jnp.eye(2))
+    for i in range(50):
+        b = kf.step(b, jnp.array([1.0]), A, Q, H, R)
+    np.testing.assert_allclose(float(b.mean[0]), 1.0, atol=0.05)
+    assert float(b.cov[0, 0]) < 0.01
+
+
+def test_kf_tracks_ramp():
+    A, Q, H, R = _lin_system()
+    b = kf.LinearBelief(mean=jnp.zeros(2), cov=jnp.eye(2))
+    key = jax.random.PRNGKey(0)
+    for t in range(80):
+        key, k = jax.random.split(key)
+        y = jnp.array([0.1 * t * 0.1]) + 0.2 * jax.random.normal(k, (1,))
+        b = kf.step(b, y, A, Q, H, R)
+    np.testing.assert_allclose(float(b.mean[1]), 0.1, atol=0.05)
+
+
+# ----------------------------------------------------------------- vanilla PF
+
+def test_sir_pf_estimates_static_mean():
+    key = jax.random.PRNGKey(3)
+    particles = jax.random.normal(key, (512, 1)) * 2.0
+    b = pf.init(jax.random.PRNGKey(4), particles)
+
+    def propagate(k, x):
+        return x + 0.02 * jax.random.normal(k, x.shape)
+
+    def loglik(x, y):
+        return -0.5 * ((x[:, 0] - y) / 0.3) ** 2
+
+    for t in range(30):
+        b = pf.step(b, jnp.float32(1.5), propagate, loglik)
+    np.testing.assert_allclose(float(pf.mean(b)[0]), 1.5, atol=0.1)
+
+
+# ------------------------------------------------------------------- RGF
+
+def rgf_setup(hw=32):
+    K = np.array([[48.0, 0, hw // 2], [0, 48.0, hw // 2], [0, 0, 1.0]])
+    cam = make_camera(K, hw, hw)
+    mesh = box_mesh(0.12, 0.10, 0.06)
+    bp = beam.make_beam_params(model_sigma=0.005, sigma_factor=0.0,
+                               tail_weight=0.05)
+    tp = transition.make_transition_params(0.3, 2.0, damping=4.0)
+
+    def render_fn(poses):
+        return raycast_depth(mesh, poses, cam.rays, tri_chunk=128)
+
+    return cam, mesh, bp, tp, render_fn
+
+
+def synth(mesh, cam, pose, key=None, sigma=0.003, background=2.0):
+    """Synthetic frame with a background plane (real scenes have one; an
+    all-NaN background would make lateral translation unobservable to any
+    depth-only Gaussian filter, reference included)."""
+    d = raycast_depth(mesh, pose, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(d), d, background)
+    if key is not None:
+        z = z + sigma * jax.random.normal(key, z.shape)
+    return z
+
+
+def test_rgf_predict_grows_uncertainty():
+    cam, mesh, bp, tp, render_fn = rgf_setup()
+    pose = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]), se3.quat_identity()])
+    b = rgf.init_belief(jax.random.PRNGKey(0), pose,
+                        num_pixels=cam.num_pixels)
+    b2 = rgf.predict(b, 1.0 / 30.0, tp)
+    assert float(jnp.trace(b2.cov)) > float(jnp.trace(b.cov)) * 0.99
+    assert bool(jnp.all(jnp.isfinite(b2.mean)))
+
+
+def test_rgf_update_recovers_depth_error():
+    """3 cm depth error: interior pixels observe it directly; the iterated
+    update must recover z within ~1 mm in two calls."""
+    cam, mesh, bp, tp, render_fn = rgf_setup()
+    true_pose = jnp.concatenate([jnp.array([0.01, -0.005, 0.6]),
+                                 se3.quat_identity()])
+    start = true_pose.at[0].add(0.02).at[2].add(-0.03)
+    z = synth(mesh, cam, true_pose)
+    b = rgf.init_belief(jax.random.PRNGKey(0), start, first_frame=z,
+                        pos_sigma=0.02)
+    err0 = float(jnp.linalg.norm(b.mean[:3] - true_pose[:3]))
+    for i in range(2):
+        b, info = rgf.update(b, z, render_fn, bp)
+    assert abs(float(b.mean[2]) - 0.6) < 2e-3
+    err1 = float(jnp.linalg.norm(b.mean[:3] - true_pose[:3]))
+    assert err1 < err0, (err0, err1)
+
+
+def test_rgf_closed_loop_static():
+    """L-shaped object (fully observable) at a rotated pose: the filter
+    must converge from a 2.5 cm init error. A symmetric box would slide
+    along its y-translation↔pitch ambiguity here — depth-only Gaussian
+    filters need identifiable geometry (same in the reference)."""
+    cam, _, bp, tp, _ = rgf_setup()
+    mesh = l_shape_mesh()
+
+    def render_fn(poses):
+        return raycast_depth(mesh, poses, cam.rays, tri_chunk=128)
+
+    true_pose = jnp.concatenate([jnp.array([0.0, 0.01, 0.6]),
+                                 se3.so3_exp_quat(jnp.array([0.0, 0.2, 0.1]))])
+    b = rgf.init_belief(jax.random.PRNGKey(0),
+                        true_pose.at[0].add(0.015).at[2].add(-0.02),
+                        first_frame=synth(mesh, cam, true_pose),
+                        pos_sigma=0.02)
+    step = jax.jit(lambda bel, z: rgf.rgf_step(bel, z, render_fn, tp,
+                                               1.0 / 30.0, bp))
+    key = jax.random.PRNGKey(9)
+    errs, rots = [], []
+    for t in range(12):
+        key, kz = jax.random.split(key)
+        b, info = step(b, synth(mesh, cam, true_pose, kz))
+        errs.append(float(jnp.linalg.norm(b.mean[:3] - true_pose[:3])))
+        rots.append(float(jnp.linalg.norm(
+            se3.quat_boxminus(b.mean[3:7], true_pose[3:7]))))
+    assert np.mean(errs[-4:]) < 0.015, errs
+    assert np.mean(rots[-4:]) < 0.1, rots
+
+
+def test_rgf_closed_loop_moving():
+    cam, mesh, bp, tp, render_fn = rgf_setup()
+    start_pose = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                                  se3.quat_identity()])
+    vel = jnp.array([0.05, 0.0, 0.02])
+    b = rgf.init_belief(jax.random.PRNGKey(0), start_pose,
+                        first_frame=synth(mesh, cam, start_pose),
+                        pos_sigma=0.01)
+    step = jax.jit(lambda bel, z: rgf.rgf_step(bel, z, render_fn, tp,
+                                               1.0 / 30.0, bp))
+    key = jax.random.PRNGKey(11)
+    dt = 1.0 / 30.0
+    errs = []
+    for t in range(12):
+        pose_t = start_pose.at[:3].add(vel * t * dt)
+        key, kz = jax.random.split(key)
+        b, info = step(b, synth(mesh, cam, pose_t, kz))
+        errs.append(float(jnp.linalg.norm(b.mean[:3] - pose_t[:3])))
+    assert np.mean(errs[6:]) < 0.015, errs
+
+
+def test_rgf_robust_to_transient_occlusion():
+    """Closed loop with an occluder at 0.45 m covering the top half of the
+    image for 5 frames: the estimate must not be dragged more than ~2 cm
+    during occlusion and must recover afterwards (the ICRA-2016 scenario)."""
+    cam, mesh, bp, tp, render_fn = rgf_setup()
+    true_pose = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                                 se3.quat_identity()])
+    z0 = synth(mesh, cam, true_pose)
+    b = rgf.init_belief(jax.random.PRNGKey(0), true_pose, first_frame=z0,
+                        pos_sigma=0.01)
+    step = jax.jit(lambda bel, z: rgf.rgf_step(bel, z, render_fn, tp,
+                                               1.0 / 30.0, bp))
+    key = jax.random.PRNGKey(21)
+    n = cam.num_pixels
+    errs, betas = [], []
+    for t in range(15):
+        key, kz = jax.random.split(key)
+        z = synth(mesh, cam, true_pose, kz)
+        if 4 <= t < 9:
+            z = z.at[: n // 2].set(0.45)
+        b, info = step(b, z)
+        errs.append(float(jnp.linalg.norm(b.mean[:3] - true_pose[:3])))
+        betas.append(float(info.mean_beta))
+    assert max(errs[4:9]) < 0.025, errs       # bounded drag under occlusion
+    assert np.mean(errs[-3:]) < 0.008, errs   # recovery
+    assert min(betas[4:9]) < betas[0]         # outliers were detected
+
+
+def test_rgf_all_invalid_frame_is_noop_ish():
+    cam, mesh, bp, tp, render_fn = rgf_setup()
+    pose = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]), se3.quat_identity()])
+    b = rgf.init_belief(jax.random.PRNGKey(0), pose,
+                        num_pixels=cam.num_pixels)
+    z = jnp.full((cam.num_pixels,), jnp.nan)
+    b2, info = rgf.update(b, z, render_fn, bp)
+    np.testing.assert_allclose(np.asarray(b2.mean), np.asarray(b.mean),
+                               atol=1e-5)
+    assert float(info.mean_beta) == 0.0

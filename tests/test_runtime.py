@@ -1,0 +1,266 @@
+"""Tracker facades + runtime streaming loop (ref R1-R7, D18-D21).
+
+The closed-loop synthetic runs here are the framework's replacement for the
+reference's *_tracker_simulation_node manual validation (SURVEY.md §3.3/§4)
+— but with hard RMSE assertions instead of RViz eyeballing.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dbot_ros_tpu import config as cfg
+from dbot_ros_tpu.runtime import checkpoint, node, publisher, sources
+from dbot_ros_tpu.trackers import base
+from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+from dbot_ros_tpu.trackers.particle import ParticleTracker
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import make_camera
+from dbot_ros_tpu.utils.mesh import box_mesh, l_shape_mesh
+
+
+def small_camera(hw=32, f=48.0):
+    K = np.array([[f, 0, hw // 2], [0, f, hw // 2], [0, 0, 1.0]])
+    return make_camera(K, hw, hw)
+
+
+def small_particle_config(n=200):
+    return cfg.ParticleTrackerConfig(
+        evaluation_count=n,
+        max_kl_divergence=0.8,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(linear_acceleration_sigma=0.4,
+                                        angular_acceleration_sigma=2.0,
+                                        damping=4.0),
+        seed=3)
+
+
+def linear_trajectory(start_pose, vel, dt=1.0 / 30.0):
+    start_pose = np.asarray(start_pose, np.float32)
+    vel = np.asarray(vel, np.float32)
+
+    def fn(t):
+        p = start_pose.copy()
+        p[:3] = p[:3] + vel * (t * dt)
+        return p[None]
+
+    return fn
+
+
+# ----------------------------------------------------------- frame algebra
+
+def test_center_model_frame_roundtrip():
+    center = jnp.array([0.01, -0.02, 0.03])
+    pose = jnp.concatenate([jnp.array([0.1, 0.2, 0.7]),
+                            se3.so3_exp_quat(jnp.array([0.2, -0.1, 0.3]))])
+    pc = base.to_center_frame(pose, center)
+    pm = base.to_model_frame(pc, center)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pose), atol=1e-6)
+    # Both frames map their respective mesh points identically:
+    x_model = jnp.array([0.05, 0.0, 0.01])
+    np.testing.assert_allclose(
+        np.asarray(se3.pose_apply(pose, x_model)),
+        np.asarray(se3.pose_apply(pc, x_model - center)), atol=1e-6)
+
+
+def test_moving_average_pose():
+    p1 = jnp.concatenate([jnp.zeros(3), se3.quat_identity()])
+    p2 = jnp.concatenate([jnp.array([1.0, 0.0, 0.0]), se3.quat_identity()])
+    half = base.moving_average_pose(p1, p2, 0.5)
+    np.testing.assert_allclose(half[0], 0.5, atol=1e-6)
+    full = base.moving_average_pose(p1, p2, 1.0)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(p2), atol=1e-6)
+
+
+# ----------------------------------------------------------------- config
+
+def test_config_from_dict_and_unknown_key():
+    c = cfg.particle_config_from_dict({
+        "evaluation_count": 500,
+        "observation": {"tail_weight": 0.05},
+        "transition": {"damping": 2.0},
+    })
+    assert c.evaluation_count == 500
+    assert c.observation.tail_weight == 0.05
+    assert c.transition.damping == 2.0
+    assert c.observation.model_sigma == 0.003  # default preserved
+    with pytest.raises(ValueError):
+        cfg.particle_config_from_dict({"not_a_param": 1})
+
+
+def test_config_json_load(tmp_path):
+    p = tmp_path / "tracker.json"
+    p.write_text('{"tracker": "particle", "evaluation_count": 64}')
+    c = cfg.load_config(str(p))
+    assert isinstance(c, cfg.ParticleTrackerConfig)
+    assert c.evaluation_count == 64
+
+
+# ------------------------------------------------- particle tracker e2e
+
+def test_particle_tracker_closed_loop():
+    cam = small_camera()
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    config = small_particle_config(200)
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+
+    start = np.concatenate([[0.0, 0.0, 0.6], [1, 0, 0, 0]]).astype(
+        np.float32)
+    src = sources.SyntheticSource(
+        mesh, cam, linear_trajectory(start, [0.06, 0.0, 0.02]),
+        num_frames=12, noise_sigma=0.003, seed=5)
+    result = node.run(tracker, src)
+    assert result.poses.shape == (12, 1, 7)
+    assert result.ground_truth is not None
+    errs = result.position_errors()[:, 0]
+    assert np.mean(errs[4:]) < 0.02, errs
+    assert result.position_rmse() < 0.03
+    assert result.metrics.mean_latency() > 0
+
+
+def test_particle_tracker_obj_config_build(tmp_path):
+    """Builder path: config names an .obj on disk (ref builder flow)."""
+    obj = tmp_path / "box.obj"
+    v = [(-0.04, -0.03, -0.025), (0.04, -0.03, -0.025),
+         (0.04, 0.03, -0.025), (-0.04, 0.03, -0.025),
+         (-0.04, -0.03, 0.025), (0.04, -0.03, 0.025),
+         (0.04, 0.03, 0.025), (-0.04, 0.03, 0.025)]
+    lines = [f"v {x} {y} {z}" for x, y, z in v]
+    lines += ["f 1 4 3 2", "f 5 6 7 8", "f 1 2 6 5", "f 3 4 8 7",
+              "f 2 3 7 6", "f 1 5 8 4"]
+    obj.write_text("\n".join(lines))
+    config = small_particle_config(32)
+    config.object = cfg.ObjectConfig(meshes=[str(obj)])
+    config.camera = cfg.CameraConfig(
+        camera_matrix=[48.0, 0, 16, 0, 48.0, 16, 0, 0, 1],
+        resolution=(32, 32), downsampling_factor=1)
+    tracker = ParticleTracker(config)
+    assert tracker.meshes[0].num_triangles == 12
+    tracker.initialize(np.array([0, 0, 0.6, 1, 0, 0, 0], np.float32))
+    z = np.full((32, 32), 2.0, np.float32)
+    poses, info = tracker.track(z)
+    assert poses.shape == (1, 7)
+
+
+def test_particle_tracker_smoothing():
+    cam = small_camera()
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    config = small_particle_config(64)
+    config.moving_average_update_rate = 0.3
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+    pose0 = np.array([0, 0, 0.6, 1, 0, 0, 0], np.float32)
+    tracker.initialize(pose0)
+    src = sources.SyntheticSource(mesh, cam,
+                                  linear_trajectory(pose0, [0, 0, 0]),
+                                  num_frames=3, noise_sigma=0.005, seed=1)
+    for frame in src:
+        poses, _ = tracker.track(frame.depth)
+    assert np.linalg.norm(np.asarray(poses)[0, :3] - pose0[:3]) < 0.01
+
+
+# ------------------------------------------------- gaussian tracker e2e
+
+def test_gaussian_tracker_closed_loop():
+    cam = small_camera()
+    mesh = l_shape_mesh()
+    config = cfg.GaussianTrackerConfig(
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0,
+                                          tail_weight=0.05),
+        transition=cfg.TransitionConfig(linear_acceleration_sigma=0.3,
+                                        angular_acceleration_sigma=2.0,
+                                        damping=4.0))
+    tracker = GaussianTracker(config, mesh=mesh, camera=cam)
+    start = np.concatenate([[0.0, 0.0, 0.6], [1, 0, 0, 0]]).astype(
+        np.float32)
+    src = sources.SyntheticSource(
+        mesh, cam, linear_trajectory(start, [0.05, 0.0, 0.02]),
+        num_frames=12, noise_sigma=0.003, seed=6)
+    result = node.run(tracker, src)
+    errs = result.position_errors()[:, 0]
+    assert np.mean(errs[6:]) < 0.015, errs
+
+
+# --------------------------------------------------- replay + recording
+
+def test_replay_source_roundtrip(tmp_path):
+    path = str(tmp_path / "seq.npz")
+    depth = np.random.rand(5, 8, 8).astype(np.float32) + 0.5
+    poses = np.tile(np.array([0, 0, 0.6, 1, 0, 0, 0], np.float32),
+                    (5, 1, 1))
+    sources.record_npz(path, depth, poses)
+    src = sources.ReplaySource(path)
+    frames = list(src)
+    assert len(frames) == 5
+    np.testing.assert_allclose(frames[2].depth, depth[2])
+    np.testing.assert_allclose(frames[2].ground_truth, poses[2])
+
+
+def test_synthetic_records_then_replays(tmp_path):
+    cam = small_camera(16)
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    start = np.array([0, 0, 0.6, 1, 0, 0, 0], np.float32)
+    src = sources.SyntheticSource(mesh, cam,
+                                  linear_trajectory(start, [0.05, 0, 0]),
+                                  num_frames=4, seed=2)
+    frames = list(src)
+    path = str(tmp_path / "rec.npz")
+    sources.record_npz(path, np.stack([f.depth for f in frames]),
+                       np.stack([f.ground_truth for f in frames]))
+    replay = list(sources.ReplaySource(path))
+    assert len(replay) == 4
+    np.testing.assert_allclose(replay[3].depth, frames[3].depth, atol=1e-6)
+
+
+# --------------------------------------------- checkpoint + publisher
+
+def test_checkpoint_roundtrip_particle(tmp_path):
+    import jax
+    from dbot_ros_tpu.filters import rbcpf
+    b = rbcpf.init_belief(jax.random.PRNGKey(7),
+                          jnp.array([0, 0, 0.6, 1, 0, 0, 0.]), 16, 64)
+    path = str(tmp_path / "belief.npz")
+    checkpoint.save_belief(path, b)
+    b2 = checkpoint.load_belief(path)
+    assert isinstance(b2, rbcpf.ParticleBelief)
+    np.testing.assert_allclose(np.asarray(b2.states), np.asarray(b.states))
+    np.testing.assert_allclose(np.asarray(b2.occlusion),
+                               np.asarray(b.occlusion))
+    np.testing.assert_array_equal(np.asarray(b2.key), np.asarray(b.key))
+
+
+def test_publisher_records_states(tmp_path):
+    cam = small_camera(16)
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    config = small_particle_config(32)
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+    start = np.array([0, 0, 0.6, 1, 0, 0, 0], np.float32)
+    src = sources.SyntheticSource(mesh, cam,
+                                  linear_trajectory(start, [0, 0, 0]),
+                                  num_frames=3, seed=1)
+    out = str(tmp_path / "states.jsonl")
+    pub = publisher.ObjectStatePublisher(["box"], ["box.obj"], path=out)
+    node.run(tracker, src, on_frame=pub)
+    pub.close()
+    assert len(pub.states) == 3
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 3
+    import json
+    rec = json.loads(lines[0])
+    assert rec["name"] == "box"
+    assert len(rec["orientation"]) == 4
+
+
+def test_metrics_jsonl(tmp_path):
+    from dbot_ros_tpu.runtime.metrics import FrameMetrics, MetricsLog
+    log = MetricsLog()
+    log.append(FrameMetrics(frame=0, latency_s=0.1, ess=10.0))
+    log.append(FrameMetrics(frame=1, latency_s=0.2, resampled=True))
+    path = str(tmp_path / "m.jsonl")
+    log.to_jsonl(path)
+    assert len(open(path).readlines()) == 2
+    assert log.resample_count() == 1
+    assert abs(log.mean_latency() - 0.15) < 1e-9
