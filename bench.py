@@ -1,0 +1,80 @@
+"""Headline benchmark: particle-likelihood evaluations per second per chip.
+
+Measures the fused hot path of the flagship tracker — per-particle depth
+rendering + beam likelihood + Rao-Blackwellized occlusion update — at the
+reference's north-star operating point (BASELINE.md): 10,000 particles,
+80×60 depth frame (640×480 downsampled by 8), reference-class mesh.
+
+Baseline: the reference's GPU observation model sustains ~10k particles at
+30 Hz on its CUDA path → 10k × 4800 px × 30 Hz = 1.44e9 particle-pixel
+likelihood evaluations/s (BASELINE.md row 2). vs_baseline is the ratio
+against that number.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+P = 10_000
+DOWNSAMPLING = 8  # 640x480 / 8 -> 80x60 = 4800 px (reference default)
+BASELINE_EVALS_PER_S = 10_000 * 4800 * 30.0
+
+
+def main():
+    from dbot_ros_tpu.models import beam, occlusion
+    from dbot_ros_tpu.models.sensor import make_rb_sensor
+    from dbot_ros_tpu.ops.raycast import raycast_depth
+    from dbot_ros_tpu.utils import se3
+    from dbot_ros_tpu.utils.camera import default_kinect_camera
+    from dbot_ros_tpu.utils.mesh import icosphere_mesh
+
+    cam = default_kinect_camera(DOWNSAMPLING)
+    n_pix = cam.num_pixels
+    # Reference-class object mesh: ~1.3k triangles, fist-sized.
+    mesh = icosphere_mesh(radius=0.06, subdivisions=3)
+
+    bp = beam.make_beam_params()
+    op = occlusion.make_occlusion_params()
+    sensor = make_rb_sensor(mesh, cam, bp, op, backend="deferred")
+
+    key = jax.random.PRNGKey(0)
+    ref = jnp.concatenate([jnp.array([0.0, 0.0, 0.8]), se3.quat_identity()])
+    k1, k2 = jax.random.split(key)
+    dpos = 0.01 * jax.random.normal(k1, (P, 3))
+    states = jnp.zeros((P, 1, 13), jnp.float32)
+    states = states.at[:, 0, :3].set(ref[:3] + dpos)
+    states = states.at[:, 0, 3:7].set(ref[3:7])
+
+    z_true = raycast_depth(mesh, ref, cam.rays)
+    z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
+    occ = jnp.full((P, n_pix), 0.1)
+
+    step = jax.jit(lambda s, o, z: sensor(s, o, z, 1.0 / 30.0))
+
+    # Warmup / compile.
+    ll, occ_new = step(states, occ, z_obs)
+    ll.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ll, occ = step(states, occ, z_obs)
+    ll.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    evals_per_s = P * n_pix / dt
+    print(json.dumps({
+        "metric": "particle_likelihood_evals_per_s_per_chip",
+        "value": float(evals_per_s),
+        "unit": "particle-pixel evals/s",
+        "vs_baseline": float(evals_per_s / BASELINE_EVALS_PER_S),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,32 @@ def make_rb_sensor(meshes, camera: CameraModel, beam_params: BeamParams,
         from dbot_ros_tpu.ops.raycast_pallas import make_fused_sensor
         return make_fused_sensor(meshes, camera, beam_params, occ_params,
                                  frame_rate)
+
+    if backend == "deferred":
+        # Large-particle-batch MXU path (ops/deferred.py): one exact
+        # reference render at the particles' mean pose per call, then
+        # candidate-set intersection for the whole batch. Replaces the
+        # reference's GPU rasterizer+CUDA scorer (D12/D13) at >10k
+        # particles. Single-object for now (multi-object scenes compose
+        # via per-object selectors in a later round).
+        if len(meshes) != 1:
+            raise NotImplementedError(
+                "deferred backend currently supports one object")
+        from dbot_ros_tpu.ops.deferred import make_deferred_renderer
+        from dbot_ros_tpu.utils import se3
+        render = make_deferred_renderer(
+            meshes[0], camera.rays, camera.height, camera.width,
+            tri_chunk=tri_chunk)
+
+        def loglik_fn(states, occ, z_obs, dt):
+            poses = states[..., 0, :7]                    # (P, 7)
+            ref = se3.states_mean(states[:, 0])[:7]
+            depth = render(ref, poses)
+            return image_loglik(depth, z_obs, occ, beam_params, occ_params,
+                                dt_frames=dt * frame_rate)
+
+        return loglik_fn
+
     if backend != "xla":
         raise ValueError(f"unknown sensor backend: {backend!r}")
 

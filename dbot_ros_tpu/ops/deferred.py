@@ -1,0 +1,197 @@
+"""Deferred (candidate-set) raycast for large particle batches.
+
+The reference scales particle likelihoods by rasterizing every particle on
+a GPU (D12/D13: tiled FBO + CUDA). A direct TPU port of either approach is
+wrong-shaped: per-particle rasterization needs z-buffer scatter (hostile to
+XLA), and exhaustive ray×triangle testing is VPU-bound at
+O(P·N·T) ≈ 6·10¹¹ ops/frame for the 10k-particle north star (~2 Hz).
+
+TPU-native redesign — put the work on the MXU:
+
+1. **Reference pass** (once per frame): exact raycast at one reference pose
+   (the belief mean) returning the *nearest triangle id* per pixel
+   (ops/raycast.py, argmin variant). Particles are small perturbations of
+   the reference, so each pixel's intersecting triangle is almost always
+   in a small neighborhood of its reference assignment.
+2. **Candidate sets**: per pixel, K candidate triangle ids = its own
+   assignment plus dilated neighbors (window max over the id image) —
+   capturing silhouette shifts of several pixels in any direction.
+3. **Per-particle intersection as one-hot matmuls**: each candidate set k
+   defines a one-hot selection matrix S_k (N × T), constant per frame.
+   With per-particle transformed constants G(p) (T × 10)
+   (= [g_u | g_v | g_det | t_num], utils/mesh.py), the per-pixel
+   constants are S_k @ G(p) — batched over particles this is
+   (N × T) @ (T × 10·P): an MXU-perfect contraction (K = T = padded
+   triangle count). Validity tests + depth-min over candidates are cheap
+   VPU elementwise ops. Total ≈ 2·N·T·10·P·K_sets MXU FLOPs — a few ms
+   for P = 10⁴ on one chip, versus seconds for the exhaustive path.
+
+Exactness: a pixel whose true intersecting triangle (under a particle's
+pose) is outside its candidate set reads as miss/approximate — only
+possible when a particle's silhouette shifts by more than the dilation
+radius (default 2 px, configurable). The exact path (ops/raycast.py)
+remains the oracle and the small-batch (sigma point) path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dbot_ros_tpu.ops import raycast
+from dbot_ros_tpu.utils.mesh import TriangleMesh
+
+_DET_EPS = 1e-12
+_NEAR = 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Reference pass: nearest-triangle ids
+# ---------------------------------------------------------------------------
+
+def raycast_ids(mesh: TriangleMesh, pose, rays, tri_chunk: int = 512):
+    """Exact raycast of one pose → (depth (N,), tri_id (N,) int32, -1=miss)."""
+    G, t_num = raycast.pose_tri_constants(mesh, pose)    # (T,3,3), (T,)
+    T = G.shape[-3]
+    tri_chunk = min(tri_chunk, T)
+    pad = (-T) % tri_chunk
+    if pad:
+        G = jnp.concatenate([G, jnp.zeros((pad, 3, 3), G.dtype)], axis=0)
+        t_num = jnp.concatenate([t_num, jnp.zeros((pad,), t_num.dtype)])
+        T += pad
+    n_chunks = T // tri_chunk
+    Gc = G.reshape(n_chunks, tri_chunk * 3, 3)
+    tc = t_num.reshape(n_chunks, tri_chunk)
+    N = rays.shape[0]
+
+    def body(carry, inp):
+        zmin, idmin = carry
+        (g, tn), chunk_idx = inp
+        nums = jnp.einsum("nd,md->nm", rays, g,
+                          precision=jax.lax.Precision.HIGH)
+        nums = nums.reshape(N, tri_chunk, 3)
+        t = raycast._intersect_from_numerators(
+            nums[..., 0], nums[..., 1], nums[..., 2], tn[None, :])
+        tbest = jnp.min(t, axis=-1)
+        ibest = jnp.argmin(t, axis=-1).astype(jnp.int32) \
+            + chunk_idx * tri_chunk
+        better = tbest < zmin
+        return (jnp.where(better, tbest, zmin),
+                jnp.where(better, ibest, idmin)), None
+
+    z0 = jnp.full((N,), raycast.MISS_DEPTH, jnp.float32)
+    i0 = jnp.full((N,), -1, jnp.int32)
+    (z, ids), _ = jax.lax.scan(
+        body, (z0, i0), ((Gc, tc), jnp.arange(n_chunks)))
+    return z, jnp.where(jnp.isfinite(z), ids, -1)
+
+
+# ---------------------------------------------------------------------------
+# Candidate construction (id-image dilation)
+# ---------------------------------------------------------------------------
+
+def candidate_ids(ids, height: int, width: int, radius: int = 2,
+                  num_candidates: int = 4):
+    """Per-pixel candidate triangle ids (N, K) from the reference ids.
+
+    Candidates = own id + ids sampled from a (2r+1)² neighborhood at
+    increasing offsets (axis-aligned and diagonal picks), deduplicated
+    against slot 0 only (duplicates merely waste a test, never hurt
+    correctness). Miss pixels (-1) inherit neighbors — that is what makes
+    "particle silhouette grows into this pixel" representable.
+    """
+    img = ids.reshape(height, width)
+
+    def shift(dy, dx):
+        return jnp.roll(img, (dy, dx), axis=(0, 1))
+
+    # Preference order: self, then ring-1 neighbors, then ring-r.
+    offsets = [(0, 0)]
+    for r in range(1, radius + 1):
+        offsets += [(0, r), (0, -r), (r, 0), (-r, 0),
+                    (r, r), (-r, -r), (r, -r), (-r, r)]
+    cand = []
+    for dy, dx in offsets:
+        s = shift(dy, dx)
+        # prefer a *valid* id: if the shifted pixel missed, keep own id
+        cand.append(jnp.where(s >= 0, s, img))
+    stack = jnp.stack(cand, axis=-1).reshape(ids.shape[0], -1)  # (N, n_off)
+
+    # Greedy slot fill: pick the first num_candidates distinct-ish entries.
+    out = [stack[:, 0]]
+    taken = stack[:, 0:1]
+    for j in range(1, stack.shape[1]):
+        if len(out) >= num_candidates:
+            break
+        col = stack[:, j]
+        dup = jnp.any(col[:, None] == taken, axis=1)
+        pick = jnp.where(dup, out[0], col)
+        out.append(pick)
+        taken = jnp.concatenate([taken, pick[:, None]], axis=1)
+    while len(out) < num_candidates:
+        out.append(out[0])
+    return jnp.stack(out[:num_candidates], axis=-1)  # (N, K)
+
+
+def one_hot_selectors(cand, num_triangles: int):
+    """Candidate ids (N, K) → K one-hot matrices (K, N, T) (bf16-able).
+
+    Miss (-1) rows are all-zero → selected constants are zero → det = 0 →
+    no hit, mirroring the mesh-padding convention.
+    """
+    T = num_triangles
+    return jax.nn.one_hot(cand.T, T, dtype=jnp.float32)   # (K, N, T)
+
+
+# ---------------------------------------------------------------------------
+# Per-particle candidate intersection (the MXU pass)
+# ---------------------------------------------------------------------------
+
+def deferred_depth(mesh: TriangleMesh, poses, rays, selectors,
+                   precision=jax.lax.Precision.HIGH):
+    """Depth for a particle batch via candidate one-hot matmuls.
+
+    Args:
+      poses: (P, 7).
+      rays: (N, 3).
+      selectors: (K, N, T) one-hot candidate selectors (one_hot_selectors).
+    Returns:
+      depth (P, N), inf = miss (w.r.t. the candidate sets).
+    """
+    G, t_num = raycast.pose_tri_constants(mesh, poses)    # (P,T,3,3),(P,T)
+    P, T = t_num.shape
+    # Pack per-particle constants: (T, 10P)
+    packed = jnp.concatenate(
+        [G.reshape(P, T, 9), t_num[..., None]], axis=-1)  # (P, T, 10)
+    packed = packed.transpose(1, 0, 2).reshape(T, P * 10)
+
+    def per_candidate(S):
+        # (N, T) @ (T, 10P) → (N, P, 10): the big MXU contraction.
+        sel = jnp.einsum("nt,tm->nm", S, packed, precision=precision)
+        sel = sel.reshape(-1, P, 10)
+        g = sel[..., :9].reshape(sel.shape[0], P, 3, 3)   # (N, P, 3, 3)
+        tn = sel[..., 9]                                  # (N, P)
+        nums = jnp.einsum("nd,npkd->npk", rays, g,
+                          precision=jax.lax.Precision.HIGH)
+        t = raycast._intersect_from_numerators(
+            nums[..., 0], nums[..., 1], nums[..., 2], tn)
+        return t                                          # (N, P)
+
+    depth = per_candidate(selectors[0])
+    for k in range(1, selectors.shape[0]):
+        depth = jnp.minimum(depth, per_candidate(selectors[k]))
+    return depth.T                                        # (P, N)
+
+
+def make_deferred_renderer(mesh: TriangleMesh, rays, height: int,
+                           width: int, radius: int = 2,
+                           num_candidates: int = 4, tri_chunk: int = 512):
+    """Returns render_fn(reference_pose, poses (P,7)) → depth (P, N)."""
+
+    def render(reference_pose, poses):
+        _, ids = raycast_ids(mesh, reference_pose, rays, tri_chunk)
+        cand = candidate_ids(ids, height, width, radius, num_candidates)
+        sel = one_hot_selectors(cand, mesh.padded_triangles)
+        return deferred_depth(mesh, poses, rays, sel)
+
+    return render

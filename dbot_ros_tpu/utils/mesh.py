@@ -102,7 +102,10 @@ def make_mesh(vertices, faces, center: bool = True,
     g_v = np.cross(e1, a)
     t_num = np.einsum("td,td->t", a, g_det)
 
-    tp = _round_up(max(nt, 1), pad_to)
+    # nt + 1 guarantees at least one fully-degenerate padding row, which
+    # downstream code uses as the safe "no triangle" target (candidate id
+    # -1 → last row) for indexed/DMA access.
+    tp = _round_up(max(nt, 1) + 1, pad_to)
     vp = _round_up(max(nv, 1), 8)
 
     def padt(x):

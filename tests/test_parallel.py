@@ -1,0 +1,119 @@
+"""Multi-chip (virtual 8-device CPU mesh) particle filter tests.
+
+The distributed coverage the reference never had (SURVEY.md §4): the
+shard_map step must track like the single-device filter and resample
+globally across shards.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dbot_ros_tpu.filters import rbcpf
+from dbot_ros_tpu.models import beam, occlusion, transition
+from dbot_ros_tpu.models.sensor import make_rb_sensor
+from dbot_ros_tpu.ops.raycast import raycast_depth
+from dbot_ros_tpu.parallel import dist_filter
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import make_camera
+from dbot_ros_tpu.utils.mesh import box_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device mesh")
+
+
+def setup(n_particles=64):
+    K = np.array([[28.0, 0, 10], [0, 28.0, 10], [0, 0, 1.0]])
+    cam = make_camera(K, 20, 20)
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    bp = beam.make_beam_params(model_sigma=0.005, sigma_factor=0.0)
+    op = occlusion.make_occlusion_params()
+    tp = transition.make_transition_params(0.4, 1.5, damping=8.0)
+    sensor = make_rb_sensor(mesh, cam, bp, op, tri_chunk=128)
+    return cam, mesh, tp, sensor
+
+
+def test_distributed_step_runs_and_tracks():
+    cam, mesh, tp, sensor = setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    b = rbcpf.init_belief(jax.random.PRNGKey(0), pose0, 64, cam.num_pixels)
+    b = dist_filter.shard_belief(b, mesh_dev)
+    step = dist_filter.make_distributed_step(
+        mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.8)
+
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+    for t in range(6):
+        b, mean_state, ess = step(b, z)
+    assert b.states.shape == (64, 1, 13)
+    err = float(jnp.linalg.norm(mean_state[:3] - pose0[:3]))
+    assert err < 0.01, err
+    assert float(ess) > 1.0
+    # sharding preserved on outputs
+    assert len(b.states.sharding.device_set) == 8
+
+
+def test_distributed_resampling_global():
+    """Degenerate weights concentrated on one shard must repopulate ALL
+    shards with that particle after resampling."""
+    cam, mesh, tp, sensor = setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    b = rbcpf.init_belief(jax.random.PRNGKey(1), pose0, 64, cam.num_pixels)
+    # mark particle 5's position so we can see its offspring
+    states = b.states.at[:, 0, 1].set(jnp.arange(64, dtype=jnp.float32)
+                                      * 1e-4)
+    b = rbcpf.ParticleBelief(
+        states=states,
+        log_weights=jnp.full((64,), -500.0).at[5].set(0.0),
+        occlusion=b.occlusion, key=b.key)
+    b = dist_filter.shard_belief(b, mesh_dev)
+    # max_kl tiny → always resample; transition noise ~0 keeps marker
+    tp0 = transition.make_transition_params(1e-6, 1e-6, damping=0.0)
+    step = dist_filter.make_distributed_step(
+        mesh_dev, sensor, tp0, 1.0 / 30.0, max_kl_divergence=0.1)
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+    b2, mean_state, ess = step(b, z)
+    # All offspring carry particle 5's marker (weights were degenerate).
+    np.testing.assert_allclose(np.asarray(b2.states[:, 0, 1]),
+                               np.full(64, 5e-4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2.log_weights),
+                               np.zeros(64), atol=1e-5)
+
+
+def test_distributed_matches_single_device_statistics():
+    """Same scene: distributed posterior mean ≈ single-device posterior
+    mean (different RNG streams → statistical, not bitwise, agreement)."""
+    cam, mesh, tp, sensor = setup()
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.01, 0.55]),
+                             se3.quat_identity()])
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+
+    # single device
+    b1 = rbcpf.init_belief(jax.random.PRNGKey(2), pose0, 128,
+                           cam.num_pixels)
+    step1 = jax.jit(lambda bel, obs: rbcpf.rbcpf_step(
+        bel, obs, sensor, tp, 1.0 / 30.0, 0.8))
+    for t in range(5):
+        b1, info1 = step1(b1, z)
+
+    # distributed
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    b2 = rbcpf.init_belief(jax.random.PRNGKey(3), pose0, 128,
+                           cam.num_pixels)
+    b2 = dist_filter.shard_belief(b2, mesh_dev)
+    step2 = dist_filter.make_distributed_step(mesh_dev, sensor, tp,
+                                              1.0 / 30.0, 0.8)
+    for t in range(5):
+        b2, mean_state, ess = step2(b2, z)
+
+    e1 = np.asarray(info1.mean_state[0, :3]) - np.asarray(pose0[:3])
+    e2 = np.asarray(mean_state[:3]) - np.asarray(pose0[:3])
+    assert np.linalg.norm(e1) < 0.008
+    assert np.linalg.norm(e2) < 0.008
