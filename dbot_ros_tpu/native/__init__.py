@@ -57,6 +57,92 @@ def load_native():
     return _LIB
 
 
+def _bind_ring(lib):
+    lib.dbot_ring_create.restype = ctypes.c_void_p
+    lib.dbot_ring_create.argtypes = [ctypes.c_longlong, ctypes.c_longlong]
+    lib.dbot_ring_destroy.restype = None
+    lib.dbot_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.dbot_ring_push.restype = ctypes.c_int
+    lib.dbot_ring_push.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_double]
+    lib.dbot_ring_pop_latest.restype = ctypes.c_longlong
+    lib.dbot_ring_pop_latest.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_float),
+                                         ctypes.POINTER(ctypes.c_double)]
+    lib.dbot_ring_size.restype = ctypes.c_longlong
+    lib.dbot_ring_size.argtypes = [ctypes.c_void_p]
+
+
+class FrameRing:
+    """SPSC depth-frame ring buffer (native; ref: the camera-callback ↔
+    tracker-thread decoupling in ObjectTrackerRos, R5/P4).
+
+    Drop-oldest semantics: a tracker wants the freshest frame. Falls back
+    to a plain Python deque when the native library is absent.
+    """
+
+    def __init__(self, frame_shape, capacity: int = 8):
+        self.frame_shape = tuple(frame_shape)
+        self.frame_floats = int(np.prod(frame_shape))
+        self.capacity = capacity
+        lib = load_native()
+        self._lib = None
+        self._ring = None
+        if lib is not None:
+            _bind_ring(lib)
+            ring = lib.dbot_ring_create(self.frame_floats, capacity)
+            if ring:
+                self._lib, self._ring = lib, ring
+        if self._ring is None:
+            from collections import deque
+            self._deque = deque(maxlen=capacity)
+
+    @property
+    def is_native(self) -> bool:
+        return self._ring is not None
+
+    def push(self, frame: np.ndarray, stamp: float = 0.0):
+        frame = np.ascontiguousarray(frame, np.float32)
+        if self._ring is not None:
+            self._lib.dbot_ring_push(
+                self._ring,
+                frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                float(stamp))
+        else:
+            self._deque.append((frame.copy(), float(stamp)))
+
+    def pop_latest(self):
+        """→ (frame, stamp, skipped) or None if empty."""
+        if self._ring is not None:
+            out = np.empty(self.frame_shape, np.float32)
+            stamp = ctypes.c_double()
+            skipped = self._lib.dbot_ring_pop_latest(
+                self._ring,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(stamp))
+            if skipped < 0:
+                return None
+            return out, stamp.value, int(skipped)
+        if not self._deque:
+            return None
+        skipped = len(self._deque) - 1
+        while len(self._deque) > 1:
+            self._deque.popleft()
+        frame, stamp = self._deque.popleft()
+        return frame, stamp, skipped
+
+    def __len__(self):
+        if self._ring is not None:
+            return int(self._lib.dbot_ring_size(self._ring))
+        return len(self._deque)
+
+    def __del__(self):
+        if getattr(self, "_ring", None) is not None:
+            self._lib.dbot_ring_destroy(self._ring)
+            self._ring = None
+
+
 def try_parse_obj_native(path: str):
     """Parse an OBJ with the native parser → (V (n,3) f64, F (m,3) i64)|None."""
     lib = load_native()

@@ -1,0 +1,330 @@
+"""Fused Pallas kernel: candidate raycast + beam likelihood + occlusion.
+
+This is the D12+D13 replacement at full depth (SURVEY.md hard part #1):
+where the reference rasterizes every particle into a tiled GL texture and
+scores it with a CUDA kernel (round-tripping P×H×W depth through device
+memory), this kernel never materializes per-particle depth at all —
+
+    for each pixel (grid), for each candidate triangle (DMA'd slab of all
+    particles' transformed constants): intersect → min-depth → beam
+    densities → occlusion posterior → log-accumulate
+
+everything staying in VMEM/registers. Inputs per frame:
+
+  * ``gt``: (T, 10·Pr, 128) f32 — per-triangle slabs of every particle's
+    transformed Möller–Trumbore constants (10 components × P particles,
+    lanes = particles). Built by XLA from utils/mesh constants (one small
+    batched matmul per frame).
+  * candidate ids (Npad, K) int32 from the deferred reference pass
+    (ops/deferred.py); -1 is pre-mapped to the guaranteed-degenerate last
+    triangle row (det = 0 → miss).
+  * occlusion map transposed to pixel-major (Npad·Pr, 128).
+
+Grid is 1-D over pixel blocks; per pixel the K candidate slabs stream
+HBM→VMEM with double-buffered async DMA (guide: Patterns/Double Buffering)
+while the previous pixel's ~100 VPU ops on (Pr, 128) particle tiles
+execute. Per-frame cost at the north star (P = 10k, N = 4800, K = 2):
+~4 GB DMA + ~5·10⁶ VPU-op-cycles ≈ 5 ms — ~40× the reference GPU's
+throughput per chip.
+
+The beam/occlusion math mirrors models/beam.py + models/image_loglik.py
+exactly, except the truncated-Gaussian normalizer is taken as 1 (erf-free;
+the truncation correction is < 1e-6 except within ~5σ of the sensor range
+limits). Tests compare against the XLA path at that tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dbot_ros_tpu.models.beam import BeamParams
+from dbot_ros_tpu.models.occlusion import OcclusionParams
+from dbot_ros_tpu.ops import raycast
+from dbot_ros_tpu.utils.mesh import TriangleMesh
+
+_SQRT2PI = 2.5066282746310002
+_TINY = 1e-30
+_DET_EPS = 1e-12
+_NEAR = 1e-4
+_BIG = 1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# XLA pre-pass: pack per-particle constants into per-triangle slabs
+# ---------------------------------------------------------------------------
+
+def pack_constants(mesh: TriangleMesh, poses, p_pad: int):
+    """poses (P, 7) → (T, 10·Pr, 128) slabs, Pr = p_pad // 128.
+
+    Slab rows: [g_u(3) | g_v(3) | g_det(3) | t_num] per component block of
+    Pr rows; lanes are particles. Padding particles have zero constants
+    (det = 0 → miss for every ray).
+    """
+    G, t_num = raycast.pose_tri_constants(mesh, poses)   # (P,T,3,3),(P,T)
+    P, T = t_num.shape
+    packed = jnp.concatenate(
+        [G.reshape(P, T, 9), t_num[..., None]], axis=-1)  # (P, T, 10)
+    if p_pad != P:
+        packed = jnp.pad(packed, ((0, p_pad - P), (0, 0), (0, 0)))
+    pr = p_pad // 128
+    # (P, T, 10) → (T, 10, Pr, 128) → (T, 10*Pr, 128)
+    packed = packed.transpose(1, 2, 0).reshape(T, 10, pr, 128)
+    return packed.reshape(T, 10 * pr, 128)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(cand_ref, z_ref, rays_ref, params_ref, occ_ref, gt_ref,
+                  occ_out_ref, ll_ref, slab, sems, *, nb: int, pr: int,
+                  K: int):
+    n_blk = pl.program_id(0)
+
+    @pl.when(n_blk == 0)
+    def _():
+        ll_ref[:, :] = jnp.zeros_like(ll_ref)
+
+    # params layout (see make_fused_sensor)
+    msig = params_ref[0, 0]
+    sfac = params_ref[0, 1]
+    wt = params_ref[0, 2]
+    minz = params_ref[0, 3]
+    maxz = params_ref[0, 4]
+    lam = params_ref[0, 5]
+    p_inv_occ = params_ref[0, 6]
+    p_inv_vis = params_ref[0, 7]
+    p_inv_bg = params_ref[0, 8]
+    occ_pi = params_ref[0, 9]
+    occ_gdt = params_ref[0, 10]
+    inv_range = params_ref[0, 11]
+
+    def dma(j, buf, k):
+        tid = cand_ref[j, k]
+        return pltpu.make_async_copy(gt_ref.at[tid], slab.at[buf, k],
+                                     sems.at[buf, k])
+
+    def start_all(j, buf):
+        for k in range(K):
+            dma(j, buf, k).start()
+
+    start_all(0, 0)
+
+    def body(j, _):
+        buf = j % 2
+
+        @pl.when(j + 1 < nb)
+        def _():
+            start_all(j + 1, (j + 1) % 2)
+
+        for k in range(K):
+            dma(j, buf, k).wait()
+
+        dx = rays_ref[j, 0]
+        dy = rays_ref[j, 1]
+        dz = rays_ref[j, 2]
+        z = z_ref[j, 0]
+        z_valid = (z == z) & (z >= minz) & (z <= maxz)  # NaN-safe
+        zz = jnp.where(z == z, z, 1.0)
+
+        # --- intersect K candidates, min depth over candidates
+        t = jnp.full((pr, 128), _BIG, jnp.float32)
+        for k in range(K):
+            def comp(c):
+                return slab[buf, k, pl.ds(c * pr, pr), :]
+
+            u = comp(0) * dx + comp(1) * dy + comp(2) * dz
+            v = comp(3) * dx + comp(4) * dy + comp(5) * dz
+            det = comp(6) * dx + comp(7) * dy + comp(8) * dz
+            tn = comp(9)
+            sgn = jnp.sign(det)
+            adet = jnp.abs(det)
+            valid = ((adet > _DET_EPS)
+                     & (sgn * u >= 0.0)
+                     & (sgn * v >= 0.0)
+                     & (sgn * (u + v) <= adet)
+                     & (sgn * tn > _NEAR * adet))
+            tk = jnp.where(valid, tn / jnp.where(valid, det, 1.0), _BIG)
+            t = jnp.minimum(t, tk)
+
+        on_sil = t < _BIG * 0.5
+        d = jnp.where(on_sil, t, 1.0)
+
+        # --- occlusion prior propagation (models/occlusion.py)
+        occ = occ_ref[pl.ds(j * pr, pr), :]
+        q = jnp.clip(occ_pi + occ_gdt * (occ - occ_pi), 0.0, 1.0)
+
+        # --- beam densities (models/beam.py, truncation normalizer ≈ 1)
+        sig = msig + sfac * d * d
+        zn = (zz - d) / sig
+        body_vis = jnp.exp(-0.5 * zn * zn) / (sig * _SQRT2PI)
+        lik_vis = jnp.where(
+            z_valid,
+            ((1.0 - wt) * body_vis + wt * inv_range) * (1.0 - p_inv_vis),
+            p_inv_vis)
+
+        d_eff = jnp.clip(d, minz, maxz)
+        span = jnp.maximum(d_eff - minz, 1e-6)
+        norm_occ = jnp.maximum(1.0 - jnp.exp(-lam * span), 1e-6)
+        body_occ = lam * jnp.exp(-lam * (zz - minz)) / norm_occ
+        in_front = z_valid & (zz <= d_eff)
+        lik_occ = jnp.where(
+            z == z,
+            ((1.0 - wt) * jnp.where(in_front, body_occ, 0.0)
+             + wt * jnp.where(z_valid, inv_range, 0.0))
+            * (1.0 - p_inv_occ),
+            p_inv_occ)
+
+        lik_bg = jnp.where(z == z,
+                           jnp.where(z_valid, inv_range, 0.0)
+                           * (1.0 - p_inv_bg),
+                           p_inv_bg)
+
+        p_on = (1.0 - q) * lik_vis + q * lik_occ
+        p_z = jnp.maximum(jnp.where(on_sil, p_on, lik_bg), _TINY)
+
+        occ_post = q * lik_occ / jnp.maximum(p_on, _TINY)
+        occ_post = jnp.where(on_sil, jnp.clip(occ_post, 0.0, 1.0), q)
+        occ_out_ref[pl.ds(j * pr, pr), :] = occ_post
+
+        ll_ref[:, :] += jnp.log(p_z)
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper / sensor factory
+# ---------------------------------------------------------------------------
+
+def fused_loglik(mesh: TriangleMesh, poses, occ, z_obs, cand, rays,
+                 params_vec, nb: int = 64, interpret: bool = False):
+    """Run the fused kernel for one object.
+
+    Args:
+      poses: (P, 7); occ: (P, N); z_obs: (N,); cand: (N, K) int32 with -1
+        already mapped to the degenerate row; rays: (N, 3).
+      params_vec: (16,) f32 (see make_fused_sensor).
+    Returns (loglik (P,), occ_post (P, N)).
+    """
+    P, N = occ.shape
+    K = cand.shape[1]
+    p_pad = _round_up(P, 128)
+    pr = p_pad // 128
+    n_pad = _round_up(N, nb)
+
+    gt = pack_constants(mesh, poses, p_pad)               # (T, 10pr, 128)
+
+    # pixel-major occlusion, padded: (Npad*pr, 128)
+    occ_t = occ.T                                         # (N, P)
+    occ_t = jnp.pad(occ_t, ((0, n_pad - N), (0, p_pad - P)))
+    occ_t = occ_t.reshape(n_pad, pr, 128).reshape(n_pad * pr, 128)
+
+    z_in = jnp.pad(z_obs, (0, n_pad - N),
+                   constant_values=jnp.nan)[:, None]      # (Npad, 1)
+    rays_in = jnp.pad(rays, ((0, n_pad - N), (0, 1)))     # (Npad, 4)
+    cand_in = jnp.pad(cand, ((0, n_pad - N), (0, 0)),
+                      constant_values=mesh.padded_triangles - 1)
+    params_in = params_vec.reshape(1, -1)
+
+    grid = (n_pad // nb,)
+    kernel = functools.partial(_fused_kernel, nb=nb, pr=pr, K=K)
+    occ_out, ll = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, K), lambda n: (n, 0),
+                         memory_space=pltpu.SMEM),        # cand
+            pl.BlockSpec((nb, 1), lambda n: (n, 0),
+                         memory_space=pltpu.SMEM),        # z
+            pl.BlockSpec((nb, 4), lambda n: (n, 0),
+                         memory_space=pltpu.SMEM),        # rays
+            pl.BlockSpec((1, 16), lambda n: (0, 0),
+                         memory_space=pltpu.SMEM),        # params
+            pl.BlockSpec((nb * pr, 128), lambda n: (n, 0),
+                         memory_space=pltpu.VMEM),        # occ (pixel-major)
+            pl.BlockSpec(memory_space=pl.ANY),            # gt (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((nb * pr, 128), lambda n: (n, 0),
+                         memory_space=pltpu.VMEM),        # occ_post
+            pl.BlockSpec((pr, 128), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),        # loglik accum
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad * pr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((pr, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, 10 * pr, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, K)),
+        ],
+        interpret=interpret,
+    )(cand_in, z_in, rays_in, params_in, occ_t, gt)
+
+    loglik = ll.reshape(p_pad)[:P]
+    occ_post = occ_out.reshape(n_pad, p_pad)[:N, :P].T
+    return loglik, occ_post
+
+
+def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
+    """Pack model parameters + propagated-chain coefficients into (16,)."""
+    g = op.p_occluded_occluded - op.p_occluded_visible
+    pi = op.p_occluded_visible / jnp.maximum(1.0 - g, 1e-12)
+    gdt = jnp.sign(g) * jnp.power(jnp.abs(g), dt_frames)
+    return jnp.stack([
+        bp.model_sigma, bp.sigma_factor, bp.tail_weight, bp.min_depth,
+        bp.max_depth, bp.exponential_rate, bp.p_invalid_occluded,
+        bp.p_invalid_visible, bp.p_invalid_background, pi, gdt,
+        1.0 / (bp.max_depth - bp.min_depth),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ]).astype(jnp.float32)
+
+
+def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
+                      frame_rate: float = 30.0, num_candidates: int = 2,
+                      radius: int = 2, nb: int = 64,
+                      interpret: bool = None):
+    """RbSensor-contract loglik_fn backed by the fused kernel.
+
+    Single-object (the flagship large-particle configuration). interpret
+    defaults to True off-TPU so tests run on the CPU backend.
+    """
+    from dbot_ros_tpu.ops import deferred
+    from dbot_ros_tpu.utils import se3
+
+    if isinstance(meshes, (list, tuple)):
+        if len(meshes) != 1:
+            raise NotImplementedError(
+                "fused pallas sensor currently supports one object")
+        mesh = meshes[0]
+    else:
+        mesh = meshes
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rays = camera.rays
+    h, w = camera.height, camera.width
+    degenerate_row = mesh.padded_triangles - 1
+
+    def loglik_fn(states, occ, z_obs, dt):
+        poses = states[..., 0, :7]
+        ref = se3.states_mean(states[:, 0])[:7]
+        _, ids = deferred.raycast_ids(mesh, ref, rays)
+        cand = deferred.candidate_ids(ids, h, w, radius, num_candidates)
+        cand = jnp.where(cand >= 0, cand, degenerate_row).astype(jnp.int32)
+        params_vec = make_params_vec(bp, op, dt * frame_rate)
+        return fused_loglik(mesh, poses, occ, z_obs, cand, rays,
+                            params_vec, nb=nb, interpret=interpret)
+
+    return loglik_fn

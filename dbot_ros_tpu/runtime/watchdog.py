@@ -1,0 +1,119 @@
+"""Tracking-loss detection and automatic recovery (aux subsystem, §5).
+
+The reference has no failure detection: tracking loss is absorbed by the
+heavy-tailed model or fixed by a human re-running the interactive
+initializer (SURVEY.md §5 "failure detection" row — absence). Here a
+watchdog monitors the per-frame metrics stream for divergence signatures
+and triggers a re-initialization policy:
+
+  * particle tracker: sustained ESS collapse (posterior concentrated on a
+    few particles that still explain the image poorly) together with a
+    mean-log-likelihood drop below a running baseline;
+  * gaussian tracker: inlier rate (mean body responsibility) collapse.
+
+Recovery re-initializes the tracker at the last good pose with widened
+noise — the automated analog of dragging the RViz marker back onto the
+object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class WatchdogConfig:
+    ess_fraction_min: float = 0.02      # ESS below 2% of P → degenerate
+    loglik_drop: float = 3.0            # nats/pixel-ish drop vs EMA
+    beta_min: float = 0.05              # GF inlier-rate floor
+    patience: int = 3                   # consecutive bad frames to trip
+    ema_rate: float = 0.05              # baseline tracking rate
+
+
+class TrackingWatchdog:
+    """Feed per-frame (info, num_particles) → returns True when tripped."""
+
+    def __init__(self, config: Optional[WatchdogConfig] = None):
+        self.config = config or WatchdogConfig()
+        self._loglik_ema: Optional[float] = None
+        self._bad_streak = 0
+        self.trip_count = 0
+
+    def update(self, info, num_particles: Optional[int] = None) -> bool:
+        c = self.config
+        bad = False
+
+        ess = getattr(info, "ess", None)
+        if ess is not None and num_particles:
+            if float(ess) < c.ess_fraction_min * num_particles:
+                bad = True
+
+        ll = getattr(info, "mean_loglik", None)
+        if ll is not None:
+            ll = float(ll)
+            if self._loglik_ema is None:
+                self._loglik_ema = ll
+            if ll < self._loglik_ema - c.loglik_drop:
+                bad = True
+            else:
+                self._loglik_ema = ((1 - c.ema_rate) * self._loglik_ema
+                                    + c.ema_rate * ll)
+
+        beta = getattr(info, "mean_beta", None)
+        if beta is not None and float(beta) < c.beta_min:
+            bad = True
+
+        if bad:
+            self._bad_streak += 1
+        else:
+            self._bad_streak = 0
+
+        if self._bad_streak >= c.patience:
+            self._bad_streak = 0
+            self._loglik_ema = None
+            self.trip_count += 1
+            return True
+        return False
+
+
+def reinitialize_particle_tracker(tracker, last_good_pose,
+                                  spread_pos: float = 0.05,
+                                  spread_rot: float = 0.3):
+    """Recovery policy: re-seed the belief around the last good pose with
+    widened diversity (exploration burst), keeping the compiled step."""
+    import jax
+    import jax.numpy as jnp
+
+    from dbot_ros_tpu.filters import rbcpf
+    from dbot_ros_tpu.trackers import base
+    from dbot_ros_tpu.utils import se3
+
+    poses_model = jnp.asarray(last_good_pose, jnp.float32)
+    if poses_model.ndim == 1:
+        poses_model = poses_model[None]
+    pose_center = base.to_center_frame(poses_model, tracker.centers)
+    p = tracker.config.evaluation_count
+    key = jax.random.fold_in(jax.random.PRNGKey(tracker.config.seed),
+                             17 + getattr(tracker, "_reinit_count", 0))
+    tracker._reinit_count = getattr(tracker, "_reinit_count", 0) + 1
+    k1, k2 = jax.random.split(key)
+    k_objects = poses_model.shape[0]
+    dpos = spread_pos * jax.random.normal(k1, (p, k_objects, 3))
+    drot = spread_rot * jax.random.normal(k2, (p, k_objects, 3))
+    poses = jnp.concatenate(
+        [pose_center[None, :, :3] + dpos,
+         se3.quat_boxplus(
+             jnp.broadcast_to(pose_center[None, :, 3:7],
+                              (p, k_objects, 4)), drot)], -1)
+    states = jnp.zeros((p, k_objects, 13), jnp.float32).at[..., :7].set(
+        poses)
+    tracker.belief = rbcpf.ParticleBelief(
+        states=states,
+        log_weights=jnp.zeros((p,), jnp.float32),
+        occlusion=jnp.full(
+            (p, tracker.camera.num_pixels),
+            jnp.float32(tracker.occ_params.initial_occlusion_prob)),
+        key=jax.random.fold_in(key, 99),
+    )
+    tracker._smoothed = pose_center

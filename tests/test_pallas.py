@@ -1,0 +1,108 @@
+"""Fused Pallas kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dbot_ros_tpu.models import beam, occlusion
+from dbot_ros_tpu.models.image_loglik import image_loglik
+from dbot_ros_tpu.models.sensor import make_rb_sensor
+from dbot_ros_tpu.ops import deferred, raycast
+from dbot_ros_tpu.ops.raycast_pallas import (fused_loglik, make_fused_sensor,
+                                             make_params_vec)
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import make_camera
+from dbot_ros_tpu.utils.mesh import l_shape_mesh
+
+
+def setup(P=96):
+    K = np.array([[48.0, 0, 16], [0, 48.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    mesh = l_shape_mesh()
+    bp = beam.make_beam_params(model_sigma=0.005, sigma_factor=0.0)
+    op = occlusion.make_occlusion_params()
+    ref = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]), se3.quat_identity()])
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    dpos = 0.005 * jax.random.normal(k1, (P, 3))
+    drot = 0.03 * jax.random.normal(k2, (P, 3))
+    poses = jnp.concatenate(
+        [ref[None, :3] + dpos,
+         jax.vmap(se3.quat_boxplus, in_axes=(None, 0))(ref[3:7], drot)], -1)
+    z_true = raycast.raycast_depth(mesh, ref, cam.rays, 128)
+    z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
+    # a few invalid pixels
+    z_obs = z_obs.at[::37].set(jnp.nan)
+    occ0 = jax.random.uniform(jax.random.PRNGKey(5),
+                              (P, cam.num_pixels)) * 0.4
+    return cam, mesh, bp, op, ref, poses, z_obs, occ0
+
+
+def test_fused_matches_xla_on_same_depths():
+    """Feed the kernel the same candidates the deferred XLA path uses and
+    compare loglik + occlusion posterior against image_loglik on the
+    deferred depths (identical geometry → only density-math differences:
+    the erf truncation normalizer, ≈1 away from range limits)."""
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup()
+    h, w = cam.height, cam.width
+    _, ids = deferred.raycast_ids(mesh, ref, cam.rays, 128)
+    cand = deferred.candidate_ids(ids, h, w, 2, 2)
+    sel = deferred.one_hot_selectors(cand, mesh.padded_triangles)
+    depth = deferred.deferred_depth(mesh, poses, cam.rays, sel)
+    dtf = 1.0
+    ll_ref, occ_ref_post = image_loglik(depth, z_obs, occ0, bp, op, dtf)
+
+    cand_k = jnp.where(cand >= 0, cand,
+                       mesh.padded_triangles - 1).astype(jnp.int32)
+    pv = make_params_vec(bp, op, jnp.float32(dtf))
+    ll, occ_post = fused_loglik(mesh, poses, occ0, z_obs, cand_k, cam.rays,
+                                pv, nb=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=2e-4, atol=0.05)
+    np.testing.assert_allclose(np.asarray(occ_post),
+                               np.asarray(occ_ref_post), atol=2e-4)
+
+
+def test_fused_sensor_contract():
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=64)
+    sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True, nb=32)
+    states = jnp.zeros((64, 1, 13)).at[:, 0, :7].set(poses[:64])
+    ll, occ_post = sensor(states, occ0[:64], z_obs, 1.0 / 30.0)
+    assert ll.shape == (64,)
+    assert occ_post.shape == occ0[:64].shape
+    assert bool(jnp.all(jnp.isfinite(ll)))
+    assert bool(jnp.all((occ_post >= 0) & (occ_post <= 1)))
+
+    # ranking sanity vs exact renderer
+    exact = raycast.raycast_depth(mesh, poses[:64], cam.rays, 128)
+    ll_e, _ = image_loglik(exact, z_obs, occ0[:64], bp, op, 1.0)
+    best_a = int(jnp.argmax(ll))
+    exact_rank = int(jnp.sum(ll_e > ll_e[best_a]))
+    assert exact_rank < 8, exact_rank
+
+
+def test_fused_backend_tracking():
+    """Closed-loop PF with backend='pallas' (interpret mode)."""
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.runtime import node, sources
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup()
+    config = cfg.ParticleTrackerConfig(
+        evaluation_count=128, max_kl_divergence=0.8, backend="pallas",
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(0.4, 2.0, damping=4.0), seed=3)
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+    start = np.array([0, 0, 0.6, 1, 0, 0, 0], np.float32)
+
+    def traj(t):
+        p = start.copy()
+        p[0] += 0.05 * t / 30.0
+        return p[None]
+
+    src = sources.SyntheticSource(mesh, cam, traj, num_frames=8,
+                                  noise_sigma=0.003, seed=5)
+    result = node.run(tracker, src)
+    assert result.position_rmse() < 0.02, result.position_rmse()

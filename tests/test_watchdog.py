@@ -1,0 +1,98 @@
+"""Watchdog: divergence detection + automatic re-initialization (§5 aux)."""
+
+import numpy as np
+import pytest
+
+from dbot_ros_tpu.runtime.watchdog import (TrackingWatchdog, WatchdogConfig,
+                                           reinitialize_particle_tracker)
+
+
+class FakeInfo:
+    def __init__(self, ess=None, mean_loglik=None, mean_beta=None):
+        self.ess = ess
+        self.mean_loglik = mean_loglik
+        self.mean_beta = mean_beta
+
+
+def test_watchdog_trips_on_sustained_ess_collapse():
+    wd = TrackingWatchdog(WatchdogConfig(patience=3))
+    for i in range(2):
+        assert not wd.update(FakeInfo(ess=1.0), num_particles=1000)
+    assert wd.update(FakeInfo(ess=1.0), num_particles=1000)
+    assert wd.trip_count == 1
+
+
+def test_watchdog_does_not_trip_on_healthy_stream():
+    wd = TrackingWatchdog()
+    for i in range(50):
+        assert not wd.update(FakeInfo(ess=500.0, mean_loglik=-100.0
+                                      + np.sin(i)), num_particles=1000)
+
+
+def test_watchdog_trips_on_loglik_drop():
+    wd = TrackingWatchdog(WatchdogConfig(patience=2))
+    for i in range(10):
+        wd.update(FakeInfo(mean_loglik=-100.0))
+    assert not wd.update(FakeInfo(mean_loglik=-130.0))
+    assert wd.update(FakeInfo(mean_loglik=-130.0))
+
+
+def test_watchdog_resets_streak_on_recovery():
+    wd = TrackingWatchdog(WatchdogConfig(patience=3))
+    wd.update(FakeInfo(ess=1.0), num_particles=1000)
+    wd.update(FakeInfo(ess=1.0), num_particles=1000)
+    wd.update(FakeInfo(ess=900.0), num_particles=1000)  # healthy
+    assert not wd.update(FakeInfo(ess=1.0), num_particles=1000)
+
+
+def test_watchdog_beta_floor():
+    wd = TrackingWatchdog(WatchdogConfig(patience=1))
+    assert wd.update(FakeInfo(mean_beta=0.01))
+
+
+def test_reinit_recovers_lost_track():
+    """End-to-end: teleport the object mid-sequence (tracker loses it),
+    watchdog-style reinit at the new pose re-acquires."""
+    import jax.numpy as jnp
+
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.ops.raycast import raycast_depth
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh
+
+    K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    config = cfg.ParticleTrackerConfig(
+        evaluation_count=128, max_kl_divergence=0.8,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(0.4, 1.5, damping=8.0), seed=0)
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+
+    pose_a = np.array([0, 0, 0.6, 1, 0, 0, 0], np.float32)
+    pose_b = np.array([0.15, 0.1, 0.8, 1, 0, 0, 0], np.float32)  # teleport
+
+    def frame(pose):
+        d = raycast_depth(mesh, jnp.asarray(pose), cam.rays, 128)
+        return np.asarray(jnp.where(jnp.isfinite(d), d, jnp.nan))
+
+    tracker.initialize(pose_a)
+    for _ in range(3):
+        poses, info = tracker.track(frame(pose_a))
+    # teleported object: the tracker cannot follow a 20cm jump
+    for _ in range(3):
+        poses, info = tracker.track(frame(pose_b))
+    lost_err = np.linalg.norm(np.asarray(poses)[0, :3] - pose_b[:3])
+    assert lost_err > 0.05  # genuinely lost
+
+    # recovery: external detector supplies a coarse pose near the truth
+    coarse = pose_b.copy()
+    coarse[:3] += np.array([0.02, -0.02, 0.03], np.float32)
+    reinitialize_particle_tracker(tracker, coarse, spread_pos=0.03,
+                                  spread_rot=0.2)
+    for _ in range(6):
+        poses, info = tracker.track(frame(pose_b))
+    err = np.linalg.norm(np.asarray(poses)[0, :3] - pose_b[:3])
+    assert err < 0.02, err
