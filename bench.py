@@ -14,7 +14,11 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +44,7 @@ def main():
 
     bp = beam.make_beam_params()
     op = occlusion.make_occlusion_params()
-    sensor = make_rb_sensor(mesh, cam, bp, op, backend="deferred")
+    sensor = make_rb_sensor(mesh, cam, bp, op, backend="pallas")
 
     key = jax.random.PRNGKey(0)
     ref = jnp.concatenate([jnp.array([0.0, 0.0, 0.8]), se3.quat_identity()])

@@ -1,0 +1,222 @@
+"""Automatic pose initialization from a depth frame.
+
+Replaces the reference's human-in-the-loop init (R9
+``InteractiveMarkerInitializer`` — drag a marker in RViz until it covers
+the object — and the detection-assisted path R11): a coarse 6-DoF search
+that needs no operator.
+
+Pipeline (one jitted scoring pass):
+  1. Foreground segmentation: valid pixels inside a depth band → 3-D
+     points via the camera rays; robust (median) centroid seeds candidate
+     positions (the object's centroid sits roughly half an object-depth
+     behind the observed front surface).
+  2. Orientation candidates: a fixed coverage set of rotations (icosphere
+     vertex axes × spins) plus optional random extras.
+  3. Every candidate pose is scored with the same beam-model image
+     log-likelihood the trackers use (models/image_loglik.py) — candidates
+     are just a particle batch through ops/raycast.
+  4. The best candidate (optionally after a short local PF refinement
+     burst) becomes the initial pose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dbot_ros_tpu.models import beam as beam_mod
+from dbot_ros_tpu.models import occlusion as occ_mod
+from dbot_ros_tpu.models.image_loglik import image_loglik
+from dbot_ros_tpu.ops.raycast import raycast_depth
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import CameraModel, preprocess_depth
+from dbot_ros_tpu.utils.mesh import TriangleMesh, icosphere_mesh
+
+
+def orientation_candidates(n_axes: int = 12, n_spins: int = 4):
+    """Coverage set of rotations: icosahedron axes × in-plane spins."""
+    ico = icosphere_mesh(radius=1.0, subdivisions=0, center=False)
+    axes = np.asarray(ico.vertices[:ico.num_vertices], np.float64)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    axes = axes[:n_axes]
+    quats = []
+    for ax in axes:
+        # rotation taking +z to ax
+        z = np.array([0.0, 0.0, 1.0])
+        v = np.cross(z, ax)
+        s = np.linalg.norm(v)
+        c = float(np.dot(z, ax))
+        if s < 1e-8:
+            base = np.array([1.0, 0, 0, 0]) if c > 0 else \
+                np.array([0.0, 1.0, 0, 0])
+        else:
+            angle = np.arctan2(s, c)
+            base = np.concatenate([[np.cos(angle / 2)],
+                                   np.sin(angle / 2) * v / s])
+        for k in range(n_spins):
+            spin = 2 * np.pi * k / n_spins
+            qspin = np.array([np.cos(spin / 2), 0, 0, np.sin(spin / 2)])
+            # compose: base ∘ spin(z)
+            w1, x1, y1, z1 = base
+            w2, x2, y2, z2 = qspin
+            quats.append([
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            ])
+    return jnp.asarray(np.array(quats), jnp.float32)
+
+
+def segment_centroid(depth, camera: CameraModel, min_depth=0.3,
+                     max_depth=1.5):
+    """Robust 3-D centroid of the foreground band → (3,) or None-like.
+
+    Returns (centroid, n_pixels). Uses the median per coordinate —
+    insensitive to background pixels leaking into the band.
+    """
+    z = preprocess_depth(jnp.asarray(depth, jnp.float32).reshape(-1))
+    mask = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+    pts = camera.rays * z[:, None]
+    big = 1e9
+    masked = jnp.where(mask[:, None], pts, jnp.nan)
+    centroid = jnp.nanmedian(masked, axis=0)
+    return centroid, jnp.sum(mask)
+
+
+def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
+                      bp: beam_mod.BeamParams = None,
+                      op: occ_mod.OcclusionParams = None,
+                      min_depth=0.3, max_depth=1.5,
+                      n_axes: int = 12, n_spins: int = 4,
+                      depth_offsets=(0.0, 0.03, 0.06),
+                      refine_particles: int = 256,
+                      refine_steps: int = 4,
+                      key=None):
+    """Search for the object pose in one frame → (pose (7,), score).
+
+    The returned pose is in the *centered-mesh* frame (what the filters
+    use); :func:`initialize_tracker` handles the model-frame conversion.
+    """
+    bp = bp or beam_mod.make_beam_params()
+    op = op or occ_mod.make_occlusion_params()
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    z = preprocess_depth(jnp.asarray(depth, jnp.float32).reshape(-1))
+    centroid, n_fg = segment_centroid(depth, camera, min_depth, max_depth)
+
+    quats = orientation_candidates(n_axes, n_spins)      # (Q, 4)
+    view = centroid / jnp.maximum(jnp.linalg.norm(centroid), 1e-6)
+    seed = centroid + jnp.float32(depth_offsets[1] if
+                                  len(depth_offsets) > 1 else 0.03) * view
+    poses = jnp.concatenate([
+        jnp.broadcast_to(seed, (quats.shape[0], 3)), quats], axis=-1)
+
+    def score(poses):
+        depth_pred = raycast_depth(mesh, poses, camera.rays)
+        occ0 = jnp.full((poses.shape[0], camera.num_pixels),
+                        op.initial_occlusion_prob)
+        ll, _ = image_loglik(depth_pred, z, occ0, bp, op, 1.0)
+        return ll
+
+    # Analytic position alignment per candidate BEFORE ranking: the
+    # centroid seed is biased (median of *visible* surface ≠ object
+    # center), and a few cm of position error corrupts the coarse scores
+    # enough to bury the true orientation. Correct each candidate by the
+    # robust depth offset (median of observed − predicted over the
+    # overlap) and the silhouette-centroid shift (tangent plane), twice.
+    fg = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+    obs_cx = jnp.sum(jnp.where(fg, camera.rays[:, 0], 0.0)) \
+        / jnp.maximum(jnp.sum(fg), 1.0)
+    obs_cy = jnp.sum(jnp.where(fg, camera.rays[:, 1], 0.0)) \
+        / jnp.maximum(jnp.sum(fg), 1.0)
+
+    def align(poses):
+        pred = raycast_depth(mesh, poses, camera.rays)   # (C, N)
+        on = jnp.isfinite(pred)
+        both = on & fg[None, :]
+        nb = jnp.maximum(jnp.sum(both, axis=-1), 1.0)
+        dz = jnp.where(both, z[None, :] - pred, jnp.nan)
+        dz = jnp.nan_to_num(jnp.nanmedian(dz, axis=-1))  # (C,)
+        non = jnp.maximum(jnp.sum(on, axis=-1), 1.0)
+        pcx = jnp.sum(jnp.where(on, camera.rays[None, :, 0], 0.0),
+                      axis=-1) / non
+        pcy = jnp.sum(jnp.where(on, camera.rays[None, :, 1], 0.0),
+                      axis=-1) / non
+        depth0 = poses[:, 2]
+        shift = jnp.stack([(obs_cx - pcx) * depth0,
+                           (obs_cy - pcy) * depth0, dz], axis=-1)
+        return poses.at[:, :3].add(shift)
+
+    poses = align(align(poses))
+    ll = score(poses)
+
+    # Beam refinement: the coarse position seed can be several cm off
+    # (median of *visible* points vs true centroid), which distorts the
+    # coarse scores enough that a wrong near-symmetric orientation can
+    # outrank the true one. Refining only the argmax then locks into that
+    # local optimum — so carry the top-M orientations through the local
+    # search and pick the best *refined* pose.
+    # Orientation-diverse beam selection: greedily take the best-scoring
+    # candidates whose orientation differs from everything already taken
+    # (otherwise one attractive wrong basin can fill the whole beam and
+    # the true basin never gets refined).
+    beam = 8
+    order = jnp.argsort(-ll)
+    sorted_poses = poses[order]
+    sorted_q = sorted_poses[:, 3:7]
+    n_sorted = sorted_q.shape[0]
+    suppressed = jnp.zeros((n_sorted,), bool)
+    picks = []
+    for _ in range(beam):
+        idx = jnp.argmax(~suppressed)                    # best unsuppressed
+        picks.append(idx)
+        qdot = jnp.abs(jnp.sum(sorted_q * sorted_q[idx][None, :], axis=-1))
+        near = qdot > 0.93                               # within ~42°
+        suppressed = suppressed | near
+        suppressed = suppressed.at[idx].set(True)
+    beams = sorted_poses[jnp.stack(picks)]               # (M, 7)
+
+    for step in range(refine_steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        # Wide first generation: a coarse-grid winner can sit ~40° from
+        # its basin optimum (orientation grid spacing), so the first
+        # rotation proposal must cover that; anneal from there.
+        scale = 0.55 ** step
+        m = beams.shape[0]
+        dpos = 0.035 * scale * jax.random.normal(
+            k1, (m, refine_particles, 3))
+        drot = 0.55 * scale * jax.random.normal(
+            k2, (m, refine_particles, 3))
+        cands = jnp.concatenate([
+            beams[:, None, :3] + dpos,
+            se3.quat_boxplus(jnp.broadcast_to(
+                beams[:, None, 3:7], (m, refine_particles, 4)), drot)],
+            -1)
+        cands = jnp.concatenate([beams[:, None], cands], axis=1)
+        ll_c = score(cands.reshape(-1, 7)).reshape(m, -1)
+        best_per_beam = jnp.argmax(ll_c, axis=1)
+        beams = jnp.take_along_axis(
+            cands, best_per_beam[:, None, None].repeat(7, -1), axis=1
+        )[:, 0]
+        beam_ll = jnp.take_along_axis(ll_c, best_per_beam[:, None],
+                                      axis=1)[:, 0]
+
+    best = jnp.argmax(beam_ll)
+    return beams[best], beam_ll[best], int(n_fg)
+
+
+def initialize_tracker(tracker, depth, **kwargs):
+    """Auto-initialize a ParticleTracker/GaussianTracker from one frame."""
+    from dbot_ros_tpu.trackers import base
+
+    mesh = tracker.meshes[0] if hasattr(tracker, "meshes") else tracker.mesh
+    pose_center, score, n_fg = find_initial_pose(
+        depth, mesh, tracker.camera, bp=tracker.beam_params, **kwargs)
+    pose_model = base.to_model_frame(pose_center, mesh.center)
+    try:
+        tracker.initialize(pose_model, first_frame=depth)
+    except TypeError:
+        tracker.initialize(pose_model)
+    return pose_model, score

@@ -1,0 +1,118 @@
+"""Automatic pose initialization (replaces R9 interactive markers)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dbot_ros_tpu.runtime.initializer import (find_initial_pose,
+                                              initialize_tracker,
+                                              orientation_candidates,
+                                              segment_centroid)
+from dbot_ros_tpu.ops.raycast import raycast_depth
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import make_camera
+from dbot_ros_tpu.utils.mesh import l_shape_mesh
+
+
+def cam32():
+    K = np.array([[48.0, 0, 16], [0, 48.0, 16], [0, 0, 1.0]])
+    return make_camera(K, 32, 32)
+
+
+def test_orientation_candidates_are_unit_quats():
+    q = orientation_candidates(12, 4)
+    assert q.shape == (48, 4)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=1), 1.0,
+                               atol=1e-5)
+
+
+def test_segment_centroid():
+    cam = cam32()
+    mesh = l_shape_mesh()
+    pose = jnp.concatenate([jnp.array([0.02, -0.01, 0.6]),
+                            se3.quat_identity()])
+    d = raycast_depth(mesh, pose, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(d), d, jnp.nan)
+    c, n = segment_centroid(z, cam, 0.3, 1.5)
+    assert int(n) > 20
+    # centroid near the front surface of the object
+    np.testing.assert_allclose(np.asarray(c[:2]), [0.02, -0.01], atol=0.02)
+    assert 0.5 < float(c[2]) < 0.65
+
+
+def test_find_initial_pose_recovers_translation_and_coarse_rotation():
+    cam = cam32()
+    mesh = l_shape_mesh()
+    true_pose = jnp.concatenate([
+        jnp.array([0.03, -0.02, 0.62]),
+        se3.so3_exp_quat(jnp.array([0.0, 0.0, 0.4]))])
+    d = raycast_depth(mesh, true_pose, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(d), d, jnp.nan)
+    pose, score, n_fg = find_initial_pose(z, mesh, cam, n_axes=12,
+                                          n_spins=8)
+    assert n_fg > 20
+    perr = float(jnp.linalg.norm(pose[:3] - true_pose[:3]))
+    assert perr < 0.05, perr
+    # Global-search criterion: the found pose must explain the image at
+    # least as well as the ground-truth pose (up to noise) — if a
+    # different orientation scores equally, that is a genuine scene
+    # ambiguity, not an optimizer failure. The e2e test below asserts the
+    # converged tracking result.
+    from dbot_ros_tpu.models import beam as bm
+    from dbot_ros_tpu.models import occlusion as om
+    from dbot_ros_tpu.models.image_loglik import image_loglik
+    bp, op = bm.make_beam_params(), om.make_occlusion_params()
+    dp = raycast_depth(mesh, true_pose[None], cam.rays)
+    ll_true, _ = image_loglik(dp, z, jnp.full((1, cam.num_pixels), 0.1),
+                              bp, op, 1.0)
+    # Budget-limited single-frame global search: must land within ~6% of
+    # the ground-truth pose's score (guards gross failures; the e2e test
+    # asserts the tracking outcome).
+    assert float(score) > float(ll_true[0]) - 60.0, (float(score),
+                                                     float(ll_true[0]))
+
+
+def test_initialize_tracker_then_track():
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+
+    cam = cam32()
+    mesh = l_shape_mesh()
+    config = cfg.ParticleTrackerConfig(
+        evaluation_count=192, max_kl_divergence=0.8,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(0.4, 3.0, damping=4.0), seed=1)
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+    true_pose = jnp.concatenate([jnp.array([0.01, 0.02, 0.58]),
+                                 se3.so3_exp_quat(jnp.array([0.0, 0.0,
+                                                             0.3]))])
+    d = raycast_depth(mesh, true_pose, cam.rays, 128)
+    z = np.asarray(jnp.where(jnp.isfinite(d), d, jnp.nan))
+
+    pose0, score = initialize_tracker(tracker, z, n_axes=12, n_spins=8)
+    for _ in range(8):
+        poses, info = tracker.track(z)
+
+    # Auto-init may legitimately land on a near-symmetric twin of the L at
+    # this coarse resolution (the flip scores within a few % of truth), so
+    # the criterion is *render quality*: the converged pose must explain
+    # the frame almost as well as the ground-truth pose does.
+    from dbot_ros_tpu.models.image_loglik import image_loglik
+    from dbot_ros_tpu.trackers import base
+
+    zj = jnp.asarray(z).reshape(-1)
+    occ1 = jnp.full((1, cam.num_pixels),
+                    float(tracker.occ_params.initial_occlusion_prob))
+
+    def pose_ll_center(pose_center):
+        dp = raycast_depth(mesh, jnp.asarray(pose_center).reshape(1, 7),
+                           cam.rays)
+        ll, _ = image_loglik(dp, zj, occ1, tracker.beam_params,
+                             tracker.occ_params, 1.0)
+        return float(ll[0])
+
+    est_center = base.to_center_frame(
+        jnp.asarray(np.asarray(poses)[0]), mesh.center)
+    ll_est = pose_ll_center(est_center)
+    ll_true = pose_ll_center(true_pose)  # the frame was rendered from this
+    assert ll_est > ll_true - 60.0, (ll_est, ll_true)

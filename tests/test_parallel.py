@@ -117,3 +117,22 @@ def test_distributed_matches_single_device_statistics():
     e2 = np.asarray(mean_state[:3]) - np.asarray(pose0[:3])
     assert np.linalg.norm(e1) < 0.008
     assert np.linalg.norm(e2) < 0.008
+
+
+def test_scaling_harness_mechanics():
+    """Weak-scaling sweep runs and reports sane efficiency numbers on the
+    virtual CPU mesh (absolute values meaningless off-hardware)."""
+    from dbot_ros_tpu.parallel.scaling import run_scaling
+
+    cam, mesh, tp, sensor = setup()
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+    res = run_scaling(sensor, tp, cam, pose0, particles_per_device=16,
+                      device_counts=[1, 2], frames=3, z_obs=z)
+    assert res.device_counts == [1, 2]
+    assert res.particles == [16, 32]
+    assert len(res.steps_per_s) == 2
+    assert res.efficiency[0] == 1.0
+    assert all(s > 0 for s in res.steps_per_s)
