@@ -56,7 +56,9 @@ def main():
 
     z_true = raycast_depth(mesh, ref, cam.rays)
     z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
-    occ = jnp.full((P, n_pix), 0.1)
+    occ = (sensor.init_occlusion(P, 0.1)
+           if hasattr(sensor, "init_occlusion")
+           else jnp.full((P, n_pix), 0.1))
 
     step = jax.jit(lambda s, o, z: sensor(s, o, z, 1.0 / 30.0))
 

@@ -64,13 +64,17 @@ class StepInfo:
 
 
 def init_belief(key, initial_poses, num_particles: int, num_pixels: int,
-                initial_occlusion_prob=0.1) -> ParticleBelief:
+                initial_occlusion_prob=0.1, sensor=None) -> ParticleBelief:
     """Initialize all particles at the given poses with zero velocity.
 
     Mirrors ``ParticleTracker::on_initialize`` (D19): set particles to the
     initial pose(s), uniform weights; the first ``track`` call diversifies
     them through the transition noise (the reference additionally resamples
     to ``evaluation_count``, which is a no-op for identical particles).
+
+    If ``sensor`` provides ``init_occlusion`` (e.g. the fused Pallas
+    sensor with its device-layout occlusion state), the occlusion leaf is
+    created by the sensor; otherwise it is the standard (P, N) map.
     """
     initial_poses = jnp.asarray(initial_poses, jnp.float32)
     if initial_poses.ndim == 1:
@@ -78,27 +82,39 @@ def init_belief(key, initial_poses, num_particles: int, num_pixels: int,
     k = initial_poses.shape[0]
     states = jnp.zeros((num_particles, k, 13), jnp.float32)
     states = states.at[..., :7].set(initial_poses[None])
+    if sensor is not None and hasattr(sensor, "init_occlusion"):
+        occ = sensor.init_occlusion(num_particles, initial_occlusion_prob)
+    else:
+        occ = jnp.full((num_particles, num_pixels),
+                       jnp.float32(initial_occlusion_prob))
     return ParticleBelief(
         states=states,
         log_weights=jnp.zeros((num_particles,), jnp.float32),
-        occlusion=jnp.full((num_particles, num_pixels),
-                           jnp.float32(initial_occlusion_prob)),
+        occlusion=occ,
         key=key,
     )
 
 
-def _maybe_resample(key, log_w, carry_tree, max_kl):
-    """KL-triggered systematic resampling of (states, occ, old_loglik)."""
+def _maybe_resample(key, log_w, states, occ, old_loglik, max_kl,
+                    occ_gather):
+    """KL-triggered systematic resampling of (states, occ, old_loglik).
+
+    ``occ_gather(occ, idx)`` performs the occlusion lineage gather — the
+    default particle-axis take, or a sensor-provided device-layout gather
+    (the reference's CUDA scatter/gather of persistent occlusion arrays,
+    D13, reduced to one hook).
+    """
     kl = rs.kl_to_uniform(log_w)
     p = log_w.shape[-1]
 
     def do_resample(_):
         idx = rs.systematic_indices(key, log_w, p)
-        return (rs.resample_pytree(carry_tree, idx),
+        return ((jnp.take(states, idx, axis=0), occ_gather(occ, idx),
+                 jnp.take(old_loglik, idx, axis=0)),
                 jnp.zeros_like(log_w), jnp.bool_(True))
 
     def no_resample(_):
-        return carry_tree, log_w, jnp.bool_(False)
+        return (states, occ, old_loglik), log_w, jnp.bool_(False)
 
     tree, log_w2, did = jax.lax.cond(kl > max_kl, do_resample, no_resample,
                                      None)
@@ -115,6 +131,8 @@ def rbcpf_step(belief: ParticleBelief, z_obs, loglik_fn: Callable,
     after every block (D17 behavior), using the intermediate weights.
     """
     num_objects = belief.num_objects
+    occ_gather = getattr(loglik_fn, "gather_occlusion", None) or (
+        lambda occ, idx: jnp.take(occ, idx, axis=0))
     key, k_res_base, *block_keys = jax.random.split(
         belief.key, 2 + num_objects)
 
@@ -145,7 +163,8 @@ def rbcpf_step(belief: ParticleBelief, z_obs, loglik_fn: Callable,
         # --- KL-triggered resampling (also remaps the running loglik)
         k_res = jax.random.fold_in(k_res_base, b)
         (states, occ, old_loglik), log_w, did, kl_last = _maybe_resample(
-            k_res, log_w, (states, occ, old_loglik), max_kl_divergence)
+            k_res, log_w, states, occ, old_loglik, max_kl_divergence,
+            occ_gather)
         resampled_any = resampled_any | did
 
     ln, _ = rs.normalize_log_weights(log_w)

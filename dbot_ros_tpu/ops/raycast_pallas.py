@@ -206,29 +206,54 @@ def _fused_kernel(cand_ref, z_ref, rays_ref, params_ref, occ_ref, gt_ref,
 # Host wrapper / sensor factory
 # ---------------------------------------------------------------------------
 
-def fused_loglik(mesh: TriangleMesh, poses, occ, z_obs, cand, rays,
+def occ_to_kernel(occ_pn, nb: int = 64):
+    """(P, N) particle-major occlusion → kernel layout (n_pad·pr, 128).
+
+    The kernel layout is pixel-major: row ``n·pr + c`` lane ``l`` holds
+    particle ``c·128 + l`` of pixel ``n`` — i.e. a free reshape of the
+    padded (N, P) transpose. The pallas sensor keeps its occlusion state
+    in this layout ACROSS frames: converting every step costs a 192 MB
+    relayout whose copy chain destroys execution pipelining (measured 217
+    vs 16 ms per step at the 10k-particle north star).
+    """
+    P, N = occ_pn.shape
+    p_pad = _round_up(P, 128)
+    n_pad = _round_up(N, nb)
+    o = jnp.pad(occ_pn.T, ((0, n_pad - N), (0, p_pad - P)))
+    return o.reshape(n_pad * (p_pad // 128), 128)
+
+
+def occ_from_kernel(occ_k, num_pixels: int, num_particles: int,
+                    nb: int = 64):
+    """Inverse of :func:`occ_to_kernel` (diagnostics / checkpointing)."""
+    p_pad = _round_up(num_particles, 128)
+    n_pad = occ_k.shape[0] // (p_pad // 128)
+    return occ_k.reshape(n_pad, p_pad)[:num_pixels, :num_particles].T
+
+
+def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
                  params_vec, nb: int = 64, interpret: bool = False):
     """Run the fused kernel for one object.
 
     Args:
-      poses: (P, 7); occ: (P, N); z_obs: (N,); cand: (N, K) int32 with -1
-        already mapped to the degenerate row; rays: (N, 3).
+      poses: (P, 7); occ_k: kernel-layout occlusion (occ_to_kernel);
+      z_obs: (N,); cand: (N, K) int32 with -1 already mapped to the
+        degenerate row; rays: (N, 3).
       params_vec: (16,) f32 (see make_fused_sensor).
-    Returns (loglik (P,), occ_post (P, N)).
+    Returns (loglik (P,), occ_post in kernel layout).
     """
-    P, N = occ.shape
+    P = poses.shape[0]
+    N = z_obs.shape[0]
     K = cand.shape[1]
     p_pad = _round_up(P, 128)
     pr = p_pad // 128
     n_pad = _round_up(N, nb)
+    if occ_k.shape != (n_pad * pr, 128):
+        raise ValueError(
+            f"occ_k must be kernel layout {(n_pad * pr, 128)}, got "
+            f"{occ_k.shape}; use occ_to_kernel")
 
     gt = pack_constants(mesh, poses, p_pad)               # (T, 10pr, 128)
-
-    # pixel-major occlusion, padded: (Npad*pr, 128)
-    occ_t = occ.T                                         # (N, P)
-    occ_t = jnp.pad(occ_t, ((0, n_pad - N), (0, p_pad - P)))
-    occ_t = occ_t.reshape(n_pad, pr, 128).reshape(n_pad * pr, 128)
-
     z_in = jnp.pad(z_obs, (0, n_pad - N),
                    constant_values=jnp.nan)[:, None]      # (Npad, 1)
     rays_in = jnp.pad(rays, ((0, n_pad - N), (0, 1)))     # (Npad, 4)
@@ -269,11 +294,10 @@ def fused_loglik(mesh: TriangleMesh, poses, occ, z_obs, cand, rays,
             pltpu.SemaphoreType.DMA((2, K)),
         ],
         interpret=interpret,
-    )(cand_in, z_in, rays_in, params_in, occ_t, gt)
+    )(cand_in, z_in, rays_in, params_in, occ_k, gt)
 
     loglik = ll.reshape(p_pad)[:P]
-    occ_post = occ_out.reshape(n_pad, p_pad)[:N, :P].T
-    return loglik, occ_post
+    return loglik, occ_out
 
 
 def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
@@ -290,18 +314,82 @@ def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
     ]).astype(jnp.float32)
 
 
+class FusedSensor:
+    """RbSensor-contract sensor backed by the fused kernel.
+
+    Callable with ``(states, occ, z_obs, dt)`` like every sensor, but the
+    occlusion state it consumes/produces lives in the **kernel layout**
+    (see occ_to_kernel) for transpose-free frame-to-frame feedback. The
+    filter treats occlusion as an opaque leaf; the extra hooks —
+    ``init_occlusion`` and ``gather_occlusion`` — cover the two places
+    the filter must touch it (initialization, resampling lineage gather).
+    """
+
+    def __init__(self, mesh, camera, bp, op, frame_rate=30.0,
+                 num_candidates=2, radius=2, nb=64, interpret=None):
+        self.mesh = mesh
+        self.camera = camera
+        self.bp = bp
+        self.op = op
+        self.frame_rate = frame_rate
+        self.num_candidates = num_candidates
+        self.radius = radius
+        self.nb = nb
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+
+    def _pads(self, num_particles):
+        p_pad = _round_up(num_particles, 128)
+        n_pad = _round_up(self.camera.num_pixels, self.nb)
+        return p_pad, n_pad, p_pad // 128
+
+    def init_occlusion(self, num_particles, initial_prob):
+        p_pad, n_pad, pr = self._pads(num_particles)
+        return jnp.full((n_pad * pr, 128), jnp.float32(initial_prob))
+
+    def gather_occlusion(self, occ_k, parent_idx):
+        """Particle-lineage gather in kernel layout (resampling)."""
+        p = parent_idx.shape[0]
+        p_pad, n_pad, pr = self._pads(p)
+        view = occ_k.reshape(n_pad, p_pad)
+        idx_full = jnp.concatenate(
+            [parent_idx.astype(jnp.int32),
+             jnp.arange(p, p_pad, dtype=jnp.int32)])
+        return jnp.take(view, idx_full, axis=1).reshape(n_pad * pr, 128)
+
+    def occlusion_as_pn(self, occ_k, num_particles):
+        """Diagnostic view of the occlusion state as (P, N)."""
+        return occ_from_kernel(occ_k, self.camera.num_pixels,
+                               num_particles, self.nb)
+
+    def __call__(self, states, occ_k, z_obs, dt):
+        from dbot_ros_tpu.ops import deferred
+        from dbot_ros_tpu.utils import se3
+
+        mesh = self.mesh
+        poses = states[..., 0, :7]
+        ref = se3.states_mean(states[:, 0])[:7]
+        _, ids = deferred.raycast_ids(mesh, ref, self.camera.rays)
+        cand = deferred.candidate_ids(ids, self.camera.height,
+                                      self.camera.width, self.radius,
+                                      self.num_candidates)
+        cand = jnp.where(cand >= 0, cand,
+                         mesh.padded_triangles - 1).astype(jnp.int32)
+        params_vec = make_params_vec(self.bp, self.op,
+                                     dt * self.frame_rate)
+        return fused_loglik(mesh, poses, occ_k, z_obs, cand,
+                            self.camera.rays, params_vec, nb=self.nb,
+                            interpret=self.interpret)
+
+
 def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       frame_rate: float = 30.0, num_candidates: int = 2,
                       radius: int = 2, nb: int = 64,
-                      interpret: bool = None):
-    """RbSensor-contract loglik_fn backed by the fused kernel.
+                      interpret: bool = None) -> FusedSensor:
+    """Single-object fused sensor (the flagship large-particle config).
 
-    Single-object (the flagship large-particle configuration). interpret
-    defaults to True off-TPU so tests run on the CPU backend.
+    interpret defaults to True off-TPU so tests run on the CPU backend.
     """
-    from dbot_ros_tpu.ops import deferred
-    from dbot_ros_tpu.utils import se3
-
     if isinstance(meshes, (list, tuple)):
         if len(meshes) != 1:
             raise NotImplementedError(
@@ -309,22 +397,5 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
         mesh = meshes[0]
     else:
         mesh = meshes
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    rays = camera.rays
-    h, w = camera.height, camera.width
-    degenerate_row = mesh.padded_triangles - 1
-
-    def loglik_fn(states, occ, z_obs, dt):
-        poses = states[..., 0, :7]
-        ref = se3.states_mean(states[:, 0])[:7]
-        _, ids = deferred.raycast_ids(mesh, ref, rays)
-        cand = deferred.candidate_ids(ids, h, w, radius, num_candidates)
-        cand = jnp.where(cand >= 0, cand, degenerate_row).astype(jnp.int32)
-        params_vec = make_params_vec(bp, op, dt * frame_rate)
-        return fused_loglik(mesh, poses, occ, z_obs, cand, rays,
-                            params_vec, nb=nb, interpret=interpret)
-
-    return loglik_fn
+    return FusedSensor(mesh, camera, bp, op, frame_rate, num_candidates,
+                       radius, nb, interpret)

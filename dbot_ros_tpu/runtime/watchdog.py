@@ -108,12 +108,16 @@ def reinitialize_particle_tracker(tracker, last_good_pose,
                               (p, k_objects, 4)), drot)], -1)
     states = jnp.zeros((p, k_objects, 13), jnp.float32).at[..., :7].set(
         poses)
+    init_prob = float(tracker.occ_params.initial_occlusion_prob)
+    if hasattr(tracker.sensor, "init_occlusion"):
+        occ = tracker.sensor.init_occlusion(p, init_prob)
+    else:
+        occ = jnp.full((p, tracker.camera.num_pixels),
+                       jnp.float32(init_prob))
     tracker.belief = rbcpf.ParticleBelief(
         states=states,
         log_weights=jnp.zeros((p,), jnp.float32),
-        occlusion=jnp.full(
-            (p, tracker.camera.num_pixels),
-            jnp.float32(tracker.occ_params.initial_occlusion_prob)),
+        occlusion=occ,
         key=jax.random.fold_in(key, 99),
     )
     tracker._smoothed = pose_center

@@ -103,7 +103,8 @@ class ParticleTracker:
         self.belief = rbcpf.init_belief(
             key, poses_center, self.config.evaluation_count,
             self.camera.num_pixels,
-            float(self.occ_params.initial_occlusion_prob))
+            float(self.occ_params.initial_occlusion_prob),
+            sensor=self.sensor)
         self._smoothed = poses_center
 
     def restore(self, belief: rbcpf.ParticleBelief):

@@ -1,0 +1,46 @@
+"""Memory budgeting (ref D14 BufferConfiguration) + profiling helpers."""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dbot_ros_tpu.ops import budget
+from dbot_ros_tpu.utils.profiling import Stopwatch, measure, pv
+
+
+def test_estimate_scales_linearly_in_particles():
+    e1 = budget.estimate_memory(1000, 4800, 1408)
+    e2 = budget.estimate_memory(2000, 4800, 1408)
+    assert e2.total_bytes > 1.8 * e1.total_bytes
+    assert e1.belief_bytes == 1000 * 13 * 4 + 1000 * 4 + 1000 * 4800 * 4
+
+
+def test_max_particles_fits_budget():
+    mp = budget.max_particles(4800, 1408, backend="pallas")
+    est = budget.estimate_memory(mp, 4800, 1408, backend="pallas")
+    assert est.total_bytes <= budget.device_memory_bytes() * 0.6
+    # and the next doubling would not fit
+    est2 = budget.estimate_memory(mp * 2, 4800, 1408, backend="pallas")
+    assert est2.total_bytes > budget.device_memory_bytes() * 0.6
+    assert mp >= 10_000  # the north-star config fits comfortably
+
+
+def test_check_fit_warns_when_oversized():
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        budget.check_fit(1 << 21, 4800, 1408)
+        assert any("HBM" in str(x.message) for x in w)
+
+
+def test_stopwatch_and_measure(capsys):
+    sw = Stopwatch()
+    x = jnp.ones((8, 8)).sum()
+    dt = sw.measure("toy", x)
+    assert dt >= 0
+    with measure("ctx") as out:
+        out.append(jnp.zeros((4,)) + 1)
+    pv("v", 3)
+    text = capsys.readouterr().out
+    assert "toy:" in text and "ctx:" in text and "v: 3" in text

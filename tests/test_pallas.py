@@ -10,7 +10,8 @@ from dbot_ros_tpu.models.image_loglik import image_loglik
 from dbot_ros_tpu.models.sensor import make_rb_sensor
 from dbot_ros_tpu.ops import deferred, raycast
 from dbot_ros_tpu.ops.raycast_pallas import (fused_loglik, make_fused_sensor,
-                                             make_params_vec)
+                                             make_params_vec, occ_from_kernel,
+                                             occ_to_kernel)
 from dbot_ros_tpu.utils import se3
 from dbot_ros_tpu.utils.camera import make_camera
 from dbot_ros_tpu.utils.mesh import l_shape_mesh
@@ -56,8 +57,15 @@ def test_fused_matches_xla_on_same_depths():
     cand_k = jnp.where(cand >= 0, cand,
                        mesh.padded_triangles - 1).astype(jnp.int32)
     pv = make_params_vec(bp, op, jnp.float32(dtf))
-    ll, occ_post = fused_loglik(mesh, poses, occ0, z_obs, cand_k, cam.rays,
-                                pv, nb=32, interpret=True)
+    P = poses.shape[0]
+    occ_k = occ_to_kernel(occ0, nb=32)
+    # layout roundtrip sanity
+    np.testing.assert_allclose(
+        np.asarray(occ_from_kernel(occ_k, cam.num_pixels, P, nb=32)),
+        np.asarray(occ0))
+    ll, occ_post_k = fused_loglik(mesh, poses, occ_k, z_obs, cand_k,
+                                  cam.rays, pv, nb=32, interpret=True)
+    occ_post = occ_from_kernel(occ_post_k, cam.num_pixels, P, nb=32)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
                                rtol=2e-4, atol=0.05)
     np.testing.assert_allclose(np.asarray(occ_post),
@@ -68,11 +76,19 @@ def test_fused_sensor_contract():
     cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=64)
     sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True, nb=32)
     states = jnp.zeros((64, 1, 13)).at[:, 0, :7].set(poses[:64])
-    ll, occ_post = sensor(states, occ0[:64], z_obs, 1.0 / 30.0)
+    occ_k = sensor.init_occlusion(64, 0.1)
+    ll, occ_post = sensor(states, occ_k, z_obs, 1.0 / 30.0)
     assert ll.shape == (64,)
-    assert occ_post.shape == occ0[:64].shape
+    assert occ_post.shape == occ_k.shape
     assert bool(jnp.all(jnp.isfinite(ll)))
     assert bool(jnp.all((occ_post >= 0) & (occ_post <= 1)))
+    # lineage gather hook: all-parent-5 must replicate particle 5's map
+    occ_pn = sensor.occlusion_as_pn(occ_post, 64)
+    idx = jnp.full((64,), 5, jnp.int32)
+    gathered = sensor.gather_occlusion(occ_post, idx)
+    gathered_pn = sensor.occlusion_as_pn(gathered, 64)
+    np.testing.assert_allclose(np.asarray(gathered_pn),
+                               np.tile(np.asarray(occ_pn[5])[None], (64, 1)))
 
     # ranking sanity vs exact renderer
     exact = raycast.raycast_depth(mesh, poses[:64], cam.rays, 128)
