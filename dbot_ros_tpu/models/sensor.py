@@ -56,24 +56,24 @@ def make_rb_sensor(meshes, camera: CameraModel, beam_params: BeamParams,
 
     if backend == "deferred":
         # Large-particle-batch MXU path (ops/deferred.py): one exact
-        # reference render at the particles' mean pose per call, then
-        # candidate-set intersection for the whole batch. Replaces the
-        # reference's GPU rasterizer+CUDA scorer (D12/D13) at >10k
-        # particles. Single-object for now (multi-object scenes compose
-        # via per-object selectors in a later round).
-        if len(meshes) != 1:
-            raise NotImplementedError(
-                "deferred backend currently supports one object")
+        # reference render per object at the particles' mean pose, then
+        # candidate-set intersection for the whole batch; multi-object
+        # scenes min-combine per-object deferred depths (the same
+        # composition the exact path uses — mutual occlusion between
+        # tracked objects is geometric).
         from dbot_ros_tpu.ops.deferred import make_deferred_renderer
         from dbot_ros_tpu.utils import se3
-        render = make_deferred_renderer(
-            meshes[0], camera.rays, camera.height, camera.width,
-            tri_chunk=tri_chunk)
+        renders = [
+            make_deferred_renderer(m, camera.rays, camera.height,
+                                   camera.width, tri_chunk=tri_chunk)
+            for m in meshes]
 
         def loglik_fn(states, occ, z_obs, dt):
-            poses = states[..., 0, :7]                    # (P, 7)
-            ref = se3.states_mean(states[:, 0])[:7]
-            depth = render(ref, poses)
+            depth = None
+            for k, render in enumerate(renders):
+                ref_k = se3.states_mean(states[:, k])[:7]
+                d = render(ref_k, states[..., k, :7])
+                depth = d if depth is None else jnp.minimum(depth, d)
             return image_loglik(depth, z_obs, occ, beam_params, occ_params,
                                 dt_frames=dt * frame_rate)
 

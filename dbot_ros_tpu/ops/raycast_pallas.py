@@ -68,17 +68,53 @@ def pack_constants(mesh: TriangleMesh, poses, p_pad: int):
     Slab rows: [g_u(3) | g_v(3) | g_det(3) | t_num] per component block of
     Pr rows; lanes are particles. Padding particles have zero constants
     (det = 0 → miss for every ray).
+
+    Built directly in the transposed (triangle-major, particle-lanes)
+    layout: the per-particle rotations contract against the object-frame
+    constants with the particle axis LAST, so XLA writes the 0.5 GB slab
+    tensor once instead of materializing (P, T, 10) and transposing it
+    (which cost as much as the whole kernel).
     """
-    G, t_num = raycast.pose_tri_constants(mesh, poses)   # (P,T,3,3),(P,T)
-    P, T = t_num.shape
-    packed = jnp.concatenate(
-        [G.reshape(P, T, 9), t_num[..., None]], axis=-1)  # (P, T, 10)
+    from dbot_ros_tpu.utils import se3
+
+    P = poses.shape[0]
     if p_pad != P:
-        packed = jnp.pad(packed, ((0, p_pad - P), (0, 0), (0, 0)))
-    pr = p_pad // 128
-    # (P, T, 10) → (T, 10, Pr, 128) → (T, 10*Pr, 128)
-    packed = packed.transpose(1, 2, 0).reshape(T, 10, pr, 128)
-    return packed.reshape(T, 10 * pr, 128)
+        poses = jnp.concatenate(
+            [poses, jnp.zeros((p_pad - P, 7), poses.dtype)
+             .at[:, 3].set(1.0)], axis=0)
+    R = se3.quat_to_matrix(se3.pose_quat(poses))          # (Pp, 3, 3)
+    tau = se3.pose_trans(poses)                           # (Pp, 3)
+    zero_pad = jnp.arange(p_pad) >= P                     # padded lanes
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def rot_t(x):  # (T,3) object consts → (T, 3, Pp), particle-minor
+        return jnp.einsum("pij,tj->tip", R, x, precision=hp)
+
+    Rg_det = rot_t(mesh.g_det)                            # (T, 3, Pp)
+    Re1 = rot_t(mesh.tri_e1)
+    Re2 = rot_t(mesh.tri_e2)
+    Rg_u = rot_t(mesh.g_u)
+    Rg_v = rot_t(mesh.g_v)
+
+    def cross_tau(a):  # tau × a, with a (T, 3, Pp), tau (Pp, 3)
+        tx, ty, tz = tau[:, 0], tau[:, 1], tau[:, 2]
+        return jnp.stack([
+            ty * a[:, 2] - tz * a[:, 1],
+            tz * a[:, 0] - tx * a[:, 2],
+            tx * a[:, 1] - ty * a[:, 0],
+        ], axis=1)                                        # (T, 3, Pp)
+
+    g_u = Rg_u + cross_tau(Re2)
+    g_v = Rg_v - cross_tau(Re1)
+    t_num = mesh.t_num[:, None] + jnp.einsum(
+        "tip,pi->tp", Rg_det, tau, precision=hp)          # (T, Pp)
+
+    packed = jnp.concatenate(
+        [g_u, g_v, Rg_det, t_num[:, None, :]], axis=1)    # (T, 10, Pp)
+    packed = jnp.where(zero_pad[None, None, :], 0.0, packed)
+    T = packed.shape[0]
+    return packed.reshape(T, 10 * (p_pad // 128), 128)
 
 
 # ---------------------------------------------------------------------------

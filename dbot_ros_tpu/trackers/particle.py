@@ -77,12 +77,16 @@ class ParticleTracker:
             frame_rate=config.camera.frame_rate, backend=config.backend)
 
         self._dt = 1.0 / config.camera.frame_rate
+        # Donating the belief lets XLA reuse its buffers (the occlusion
+        # map alone is ~P·N·4 bytes) instead of allocating fresh ones
+        # every frame.
         self._step = jax.jit(functools.partial(
             rbcpf.rbcpf_step,
             loglik_fn=self.sensor,
             trans_params=self.trans_params,
             dt=self._dt,
-            max_kl_divergence=config.max_kl_divergence))
+            max_kl_divergence=config.max_kl_divergence),
+            donate_argnums=(0,))
         self.belief: Optional[rbcpf.ParticleBelief] = None
         self._smoothed = None  # (K, 7) centered-frame smoothed poses
 

@@ -283,8 +283,19 @@ def states_mean(states, weights=None):
     lin = jnp.sum(w * states, axis=0)  # fine for t and v; quat needs care
     q = state_pose(states)[..., 3:7]
     A = jnp.sum(w[..., None] * q[..., :, None] * q[..., None, :], axis=0)
-    # Principal eigenvector of the 4x4 accumulator.
-    _, vecs = jnp.linalg.eigh(A)
-    qm = vecs[..., -1]
-    qm = quat_normalize(qm) * jnp.where(qm[..., :1] < 0, -1.0, 1.0)
+    # Principal eigenvector of the 4x4 PSD accumulator by power iteration
+    # (a dozen 4-vector matvecs — far cheaper under jit than eigh, and
+    # this runs inside the per-frame hot path). Init from the dominant
+    # diagonal column; for a concentrated quaternion cloud λ1 ≫ λ2 so
+    # convergence is immediate.
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    init = jnp.take_along_axis(
+        A, jnp.argmax(diag, axis=-1)[..., None, None].repeat(4, -2),
+        axis=-1)[..., 0]
+    qm = init / jnp.linalg.norm(init, axis=-1, keepdims=True)
+    for _ in range(12):
+        qm = jnp.einsum("...ij,...j->...i", A, qm)
+        qm = qm / jnp.maximum(jnp.linalg.norm(qm, axis=-1, keepdims=True),
+                              1e-20)
+    qm = qm * jnp.where(qm[..., :1] < 0, -1.0, 1.0)
     return jnp.concatenate([lin[..., :3], qm, lin[..., 7:13]], axis=-1)

@@ -167,3 +167,41 @@ def test_deferred_exact_for_reference_pose_itself():
     np.testing.assert_allclose(np.asarray(approx)[both],
                                np.asarray(exact)[both], atol=1e-4)
     assert (np.isfinite(np.asarray(approx)) == both).all()
+
+
+def test_deferred_multi_object():
+    """Two objects through the deferred backend: min-composition + per-
+    object reference passes (ref FreeFloatingRigidBodiesState semantics)."""
+    import jax
+    from dbot_ros_tpu.filters import rbcpf
+    from dbot_ros_tpu.models import beam as bm
+    from dbot_ros_tpu.models import occlusion as om
+    from dbot_ros_tpu.models import transition as tr
+    from dbot_ros_tpu.models.sensor import make_rb_sensor, render_scene
+
+    cam = cam32()
+    m1 = box_mesh(0.08, 0.06, 0.05)
+    m2 = box_mesh(0.05, 0.05, 0.05)
+    bp = bm.make_beam_params(model_sigma=0.005, sigma_factor=0.0)
+    op = om.make_occlusion_params()
+    tp = tr.make_transition_params(0.3, 1.5, damping=8.0)
+    sensor = make_rb_sensor([m1, m2], cam, bp, op, backend="deferred",
+                            tri_chunk=128)
+    poses0 = jnp.stack([
+        jnp.concatenate([jnp.array([-0.05, 0.0, 0.6]),
+                         se3.quat_identity()]),
+        jnp.concatenate([jnp.array([0.06, 0.0, 0.7]),
+                         se3.quat_identity()]),
+    ])
+    z = render_scene([m1, m2], poses0[None], cam.rays, 128)[0]
+    z = jnp.where(jnp.isfinite(z), z, jnp.nan)
+    b = rbcpf.init_belief(jax.random.PRNGKey(0), poses0, 64,
+                          cam.num_pixels)
+    step = jax.jit(lambda bel, obs: rbcpf.rbcpf_step(
+        bel, obs, sensor, tp, 1.0 / 30.0, 0.8))
+    for t in range(5):
+        b, info = step(b, z)
+    assert info.mean_state.shape == (2, 13)
+    for k in range(2):
+        err = float(jnp.linalg.norm(info.mean_state[k, :3] - poses0[k, :3]))
+        assert err < 0.01, (k, err)
