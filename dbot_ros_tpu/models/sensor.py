@@ -43,8 +43,13 @@ def render_scene(meshes: Sequence[TriangleMesh], poses, rays,
 
 def make_rb_sensor(meshes, camera: CameraModel, beam_params: BeamParams,
                    occ_params: OcclusionParams, frame_rate: float = 30.0,
-                   backend: str = "xla", tri_chunk: int = 512):
-    """Build the loglik_fn closure for the particle filter."""
+                   backend: str = "xla", tri_chunk: int = 512,
+                   **backend_kwargs):
+    """Build the loglik_fn closure for the particle filter.
+
+    ``backend_kwargs`` forward to the backend factory (e.g. the pallas
+    sensor's ``nb``, ``num_candidates``, ``radius``, ``interpret``).
+    """
     if isinstance(meshes, TriangleMesh):
         meshes = [meshes]
     meshes = list(meshes)
@@ -52,7 +57,7 @@ def make_rb_sensor(meshes, camera: CameraModel, beam_params: BeamParams,
     if backend == "pallas":
         from dbot_ros_tpu.ops.raycast_pallas import make_fused_sensor
         return make_fused_sensor(meshes, camera, beam_params, occ_params,
-                                 frame_rate)
+                                 frame_rate, **backend_kwargs)
 
     if backend == "deferred":
         # Large-particle-batch MXU path (ops/deferred.py): one exact
