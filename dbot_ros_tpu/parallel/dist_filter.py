@@ -13,10 +13,10 @@ particles inside one process (D12-D14). Here particles shard across a
     vector → identical global parent indices on every shard → each shard
     materializes its slice of offspring, fetching parent *state* via an
     all_gather of pose states (P×13 floats — small) and parent occlusion
-    rows via an all_gather of the occlusion map. The occlusion all_gather
-    is the known scaling cost; the planned refinement (next round) is
-    offspring-count redistribution with neighbor ``ppermute`` of surplus
-    particles only, which removes the O(P·N_pix) collective.
+    rows via an all_gather of the occlusion map — exact, but the occlusion
+    all_gather is the scaling cost. :func:`make_island_step` removes it
+    from the common path entirely (island-model PF: local resampling,
+    rare block-regular island exchanges) at a small statistical cost.
 
 Multi-object / multi-scene batching (P7) composes on an outer mesh axis
 ("b"): independent scenes are pure data parallelism (vmap over the scene
@@ -148,6 +148,161 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
             [lin[0, :3], qm, lin[0, 7:13]], axis=-1)
 
         return states, log_w, occ, key_next[None], mean_state, ess
+
+    pspec = P(axis)
+    rspec = P()
+    sharded = shard_map(
+        step_local, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, rspec, rspec),
+        out_specs=(pspec, pspec, pspec, rspec, rspec, rspec),
+        check_vma=False)
+
+    @jax.jit
+    def step(belief: ParticleBelief, z_obs):
+        states, log_w, occ, key, mean_state, ess = sharded(
+            belief.states, belief.log_weights, belief.occlusion,
+            belief.key[None], z_obs)
+        return (ParticleBelief(states=states, log_weights=log_w,
+                               occlusion=occ, key=key[0]),
+                mean_state, ess)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Island-model distributed PF: zero collectives on the common path
+# ---------------------------------------------------------------------------
+
+def make_island_step(mesh: Mesh, loglik_fn: Callable,
+                     trans_params: TransitionParams, dt: float,
+                     max_kl_divergence: float = 1.0,
+                     island_max_kl: float = 0.5,
+                     axis: str = "p"):
+    """Island-model RBC-PF step (Vergé et al., "island particle filter").
+
+    The plain distributed step (make_distributed_step) pays an all_gather
+    of the particle state AND the occlusion map on every KL-triggered
+    resample — the O(P·N_pix) collective that SURVEY.md flags as hard
+    part #2. The island model removes it from the common path:
+
+      * each shard ("island") runs a complete local PF: local likelihoods,
+        local KL-triggered systematic resampling — **no communication**;
+      * the island itself carries a log-weight ``b_i`` (its share of the
+        global marginal likelihood), updated with the island's local
+        logsumexp increment each frame;
+      * only when the *island* weights degenerate (KL over n_islands
+        exceeds ``island_max_kl``) are whole island blocks exchanged —
+        a block-regular collective (all_gather + select of equal-size
+        blocks), far rarer than particle-level resampling and perfectly
+        shaped for ICI.
+
+    Posterior queries (mean state, ESS) weight island-locally-normalized
+    particles by the island weights via psum — exact, cheap.
+
+    Belief layout: identical to the plain step, plus the island log-weight
+    folded into ``log_weights`` (each shard's block carries its island
+    offset b_i/L added to every local log weight, so the global weight
+    vector remains exactly the importance weights of the full filter).
+    """
+
+    def step_local(states, log_w, occ, key, z_obs):
+        idx = jax.lax.axis_index(axis)
+        n_islands = jax.lax.axis_size(axis)
+        p_local = states.shape[0]
+
+        key_next, k_trans, k_res, k_isl = jax.random.split(key[0], 4)
+        k_trans = jax.random.fold_in(k_trans, idx)
+        k_res = jax.random.fold_in(k_res, idx)
+
+        # --- transition + likelihood (no comms)
+        new_block = sample_transition(k_trans, states[:, 0], dt,
+                                      trans_params)
+        states = states.at[:, 0].set(new_block)
+        loglik, occ_post = loglik_fn(states, occ, z_obs, dt)
+        occ = occ_post
+        log_w = log_w + loglik
+
+        # --- island decomposition: b = local logsumexp, ln = local norm
+        m_loc = jnp.max(log_w)
+        b = m_loc + jnp.log(jnp.sum(jnp.exp(log_w - m_loc)))  # island lw
+        ln_local = log_w - b                                   # sums to 1
+
+        # --- local KL-triggered resampling (no comms)
+        kl_local = jnp.sum(
+            jnp.exp(ln_local) * jnp.where(jnp.exp(ln_local) > 0,
+                                          ln_local, 0.0)) \
+            + jnp.log(jnp.float32(p_local))
+
+        def local_resample(args):
+            states, occ, ln_local = args
+            parents = jnp.clip(
+                jnp.searchsorted(
+                    jnp.cumsum(jnp.exp(ln_local)),
+                    (jnp.arange(p_local, dtype=jnp.float32)
+                     + jax.random.uniform(k_res, ())) / p_local,
+                    side="left"), 0, p_local - 1)
+            return (jnp.take(states, parents, axis=0),
+                    jnp.take(occ, parents, axis=0),
+                    jnp.full((p_local,), -jnp.log(jnp.float32(p_local))))
+
+        def no_local_resample(args):
+            return args
+
+        states, occ, ln_local = jax.lax.cond(
+            kl_local > max_kl_divergence, local_resample,
+            no_local_resample, (states, occ, ln_local))
+
+        # --- island-level bookkeeping (scalar collectives only)
+        m_b = jax.lax.pmax(b, axis)
+        sum_b = jax.lax.psum(jnp.exp(b - m_b), axis)
+        bn = b - (m_b + jnp.log(sum_b))                 # normalized island lw
+        w_isl = jnp.exp(bn)
+        kl_islands = jax.lax.psum(
+            w_isl * jnp.where(w_isl > 0, bn, 0.0), axis) \
+            + jnp.log(jnp.float32(n_islands))
+
+        # --- rare island resampling: exchange whole blocks
+        def island_resample(args):
+            states, occ, ln_local, bn = args
+            bn_all = jax.lax.all_gather(bn, axis)              # (S,)
+            cdf = jnp.cumsum(jnp.exp(bn_all))
+            u = jax.random.uniform(k_isl, ())  # same everywhere
+            pos = (jnp.float32(idx) + u) / n_islands
+            src = jnp.clip(jnp.searchsorted(cdf, pos, side="left"),
+                           0, n_islands - 1)
+            st_all = jax.lax.all_gather(states, axis)          # (S, L, ...)
+            occ_all = jax.lax.all_gather(occ, axis)
+            ln_all = jax.lax.all_gather(ln_local, axis)
+            return (st_all[src], occ_all[src], ln_all[src],
+                    -jnp.log(jnp.float32(n_islands)))
+
+        def no_island_resample(args):
+            states, occ, ln_local, bn = args
+            return states, occ, ln_local, bn
+
+        states, occ, ln_local, bn = jax.lax.cond(
+            kl_islands > island_max_kl, island_resample,
+            no_island_resample, (states, occ, ln_local, bn))
+
+        # --- globally consistent weights: w(p on island i) ∝ bn_i + ln
+        log_w_out = bn + ln_local
+
+        # --- posterior mean + ESS (psum reductions)
+        lse2, s2, _, _ = _global_log_normalizers(log_w_out, axis)
+        w = jnp.exp(log_w_out - lse2)
+        lin = jax.lax.psum(jnp.einsum("p,pkd->kd", w, states), axis)
+        q = states[..., 0, 3:7]
+        A = jax.lax.psum(jnp.einsum("p,pi,pj->ij", w, q, q), axis)
+        qm = A[:, 0] / jnp.maximum(jnp.linalg.norm(A[:, 0]), 1e-12)
+        for _ in range(10):
+            qm = A @ qm
+            qm = qm / jnp.maximum(jnp.linalg.norm(qm), 1e-20)
+        qm = qm * jnp.where(qm[0] < 0, -1.0, 1.0)
+        mean_state = jnp.concatenate([lin[0, :3], qm, lin[0, 7:13]],
+                                     axis=-1)
+        ess = 1.0 / s2
+
+        return (states, log_w_out, occ, key_next[None], mean_state, ess)
 
     pspec = P(axis)
     rspec = P()

@@ -136,3 +136,59 @@ def test_scaling_harness_mechanics():
     assert len(res.steps_per_s) == 2
     assert res.efficiency[0] == 1.0
     assert all(s > 0 for s in res.steps_per_s)
+
+
+def test_island_step_tracks():
+    """Island-model distributed PF: zero-collective common path must track
+    like the plain distributed step."""
+    cam, mesh, tp, sensor = setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.01, 0.58]),
+                             se3.quat_identity()])
+    b = rbcpf.init_belief(jax.random.PRNGKey(5), pose0, 128,
+                          cam.num_pixels)
+    b = dist_filter.shard_belief(b, mesh_dev)
+    step = dist_filter.make_island_step(mesh_dev, sensor, tp, 1.0 / 30.0,
+                                        max_kl_divergence=0.8,
+                                        island_max_kl=0.3)
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+    for t in range(12):
+        b, mean_state, ess = step(b, z)
+    err = float(jnp.linalg.norm(mean_state[:3] - pose0[:3]))
+    # 16 particles/island: slightly looser than the global-resampling step
+    assert err < 0.015, err
+    assert float(ess) > 1.0
+    assert bool(jnp.all(jnp.isfinite(b.log_weights)))
+    assert len(b.states.sharding.device_set) == 8
+
+
+def test_island_resampling_exchanges_blocks():
+    """One island holds all the posterior mass: island-level resampling
+    must replicate its block to the starved islands."""
+    cam, mesh, tp, sensor = setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    b = rbcpf.init_belief(jax.random.PRNGKey(6), pose0, 64, cam.num_pixels)
+    # Mark each particle with its shard id via y; give shard 3 all weight.
+    states = b.states.at[:, 0, 1].set(
+        (jnp.arange(64, dtype=jnp.float32) // 8) * 1e-4)
+    log_w = jnp.full((64,), -400.0).at[24:32].set(0.0)  # shard 3's block
+    b = rbcpf.ParticleBelief(states=states, log_weights=log_w,
+                             occlusion=b.occlusion, key=b.key)
+    b = dist_filter.shard_belief(b, mesh_dev)
+    tp0 = transition.make_transition_params(1e-6, 1e-6, damping=0.0)
+    step = dist_filter.make_island_step(mesh_dev, sensor, tp0, 1.0 / 30.0,
+                                        max_kl_divergence=1e9,
+                                        island_max_kl=0.1)
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+    b2, mean_state, ess = step(b, z)
+    # Every particle now descends from shard 3 (marker y = 3e-4).
+    np.testing.assert_allclose(np.asarray(b2.states[:, 0, 1]),
+                               np.full(64, 3e-4), atol=1e-5)
+    # Weights are globally normalized-ish and equal across islands.
+    w = np.exp(np.asarray(b2.log_weights))
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(w, w[0], rtol=1e-4)
