@@ -62,58 +62,94 @@ def _round_up(x, m):
 # XLA pre-pass: pack per-particle constants into per-triangle slabs
 # ---------------------------------------------------------------------------
 
-def pack_constants(mesh: TriangleMesh, poses, p_pad: int):
+def _levi_civita():
+    eps = jnp.zeros((3, 3, 3), jnp.float32)
+    for (i, j, k), s in (((0, 1, 2), 1.0), ((1, 2, 0), 1.0),
+                         ((2, 0, 1), 1.0), ((0, 2, 1), -1.0),
+                         ((2, 1, 0), -1.0), ((1, 0, 2), -1.0)):
+        eps = eps.at[i, j, k].set(s)
+    return eps
+
+
+def pack_matrix(mesh: TriangleMesh):
+    """Static coefficient tensor M (T, 10, 37) of the pack matmul.
+
+    Every transformed Möller–Trumbore constant is linear in the 37-dim
+    pose-feature vector F = [1 | vec(R) (9) | vec(τ ⊗ R) (27)]:
+
+        g_u'   = R g_u + τ × (R e2)      g_det' = R g_det
+        g_v'   = R g_v − τ × (R e1)      t_num' = t_num + τ · (R g_det)
+
+    so pack = M·F — one MXU matmul per frame instead of a chain of
+    small einsums (which were HBM-bound at ~10 ms for the 10k-particle
+    north star; the matmul is bound by the 0.5 GB slab write, ~1 ms).
+
+    Feature indexing: f=0 constant; f=1+3i+j ↦ R[i,j];
+    f=10+9a+3b+l ↦ τ[a]·R[b,l].
+    """
+    T = mesh.padded_triangles
+    eye = jnp.eye(3, dtype=jnp.float32)
+    eps = _levi_civita()
+
+    def rot_block(g):  # coeff of output comp i on R[i,j]: g[t, j]
+        return jnp.einsum("ik,tj->tikj", eye, g).reshape(T, 3, 9)
+
+    def cross_block(e):  # coeff of (τ × (R e))_i on τ[a]R[b,l]: ε_iab e[t,l]
+        return jnp.einsum("iab,tl->tiabl", eps, e).reshape(T, 3, 27)
+
+    M = jnp.zeros((T, 10, 37), jnp.float32)
+    M = M.at[:, 0:3, 1:10].set(rot_block(mesh.g_u))
+    M = M.at[:, 0:3, 10:37].set(cross_block(mesh.tri_e2))
+    M = M.at[:, 3:6, 1:10].set(rot_block(mesh.g_v))
+    M = M.at[:, 3:6, 10:37].set(-cross_block(mesh.tri_e1))
+    M = M.at[:, 6:9, 1:10].set(rot_block(mesh.g_det))
+    M = M.at[:, 9, 0].set(mesh.t_num)
+    # τ·(R g_det) = Σ τ[a] R[a,l] g_det[t,l]  → features with b == a
+    M = M.at[:, 9, 10:37].set(
+        jnp.einsum("ab,tl->tabl", eye, mesh.g_det).reshape(T, 27))
+    return M
+
+
+def pose_features(poses, p_pad: int):
+    """poses (P, 7) → pose-feature matrix F (37, Pp) for the pack matmul.
+
+    Padding particles have all-zero features (→ zero constants → det = 0 →
+    miss for every ray).
+    """
+    from dbot_ros_tpu.utils import se3
+
+    P = poses.shape[0]
+    R = se3.quat_to_matrix(se3.pose_quat(poses))          # (P, 3, 3)
+    tau = se3.pose_trans(poses)                           # (P, 3)
+    F = jnp.concatenate([
+        jnp.ones((P, 1), jnp.float32),
+        R.reshape(P, 9),
+        (tau[:, :, None, None] * R[:, None, :, :]).reshape(P, 27),
+    ], axis=1)                                            # (P, 37)
+    if p_pad != P:
+        F = jnp.concatenate(
+            [F, jnp.zeros((p_pad - P, 37), jnp.float32)], axis=0)
+    return F.T                                            # (37, Pp)
+
+
+def pack_constants(mesh: TriangleMesh, poses, p_pad: int, features=None):
     """poses (P, 7) → (T, 10·Pr, 128) slabs, Pr = p_pad // 128.
 
     Slab rows: [g_u(3) | g_v(3) | g_det(3) | t_num] per component block of
     Pr rows; lanes are particles. Padding particles have zero constants
     (det = 0 → miss for every ray).
 
-    Built directly in the transposed (triangle-major, particle-lanes)
-    layout: the per-particle rotations contract against the object-frame
-    constants with the particle axis LAST, so XLA writes the 0.5 GB slab
-    tensor once instead of materializing (P, T, 10) and transposing it
-    (which cost as much as the whole kernel).
+    One f32 matmul (10T, 37) @ (37, Pp) straight into the transposed
+    (triangle-major, particle-lanes) layout: the slab tensor is written
+    once, bound by its own HBM write (~1 ms at the 10k north star vs
+    ~10 ms for the previous small-einsum chain).
     """
-    from dbot_ros_tpu.utils import se3
-
-    P = poses.shape[0]
-    if p_pad != P:
-        poses = jnp.concatenate(
-            [poses, jnp.zeros((p_pad - P, 7), poses.dtype)
-             .at[:, 3].set(1.0)], axis=0)
-    R = se3.quat_to_matrix(se3.pose_quat(poses))          # (Pp, 3, 3)
-    tau = se3.pose_trans(poses)                           # (Pp, 3)
-    zero_pad = jnp.arange(p_pad) >= P                     # padded lanes
-
-    hp = jax.lax.Precision.HIGHEST
-
-    def rot_t(x):  # (T,3) object consts → (T, 3, Pp), particle-minor
-        return jnp.einsum("pij,tj->tip", R, x, precision=hp)
-
-    Rg_det = rot_t(mesh.g_det)                            # (T, 3, Pp)
-    Re1 = rot_t(mesh.tri_e1)
-    Re2 = rot_t(mesh.tri_e2)
-    Rg_u = rot_t(mesh.g_u)
-    Rg_v = rot_t(mesh.g_v)
-
-    def cross_tau(a):  # tau × a, with a (T, 3, Pp), tau (Pp, 3)
-        tx, ty, tz = tau[:, 0], tau[:, 1], tau[:, 2]
-        return jnp.stack([
-            ty * a[:, 2] - tz * a[:, 1],
-            tz * a[:, 0] - tx * a[:, 2],
-            tx * a[:, 1] - ty * a[:, 0],
-        ], axis=1)                                        # (T, 3, Pp)
-
-    g_u = Rg_u + cross_tau(Re2)
-    g_v = Rg_v - cross_tau(Re1)
-    t_num = mesh.t_num[:, None] + jnp.einsum(
-        "tip,pi->tp", Rg_det, tau, precision=hp)          # (T, Pp)
-
-    packed = jnp.concatenate(
-        [g_u, g_v, Rg_det, t_num[:, None, :]], axis=1)    # (T, 10, Pp)
-    packed = jnp.where(zero_pad[None, None, :], 0.0, packed)
-    T = packed.shape[0]
+    T = mesh.padded_triangles
+    if features is None:
+        features = pose_features(poses, p_pad)
+    M = pack_matrix(mesh).reshape(T * 10, 37)
+    packed = jnp.dot(M, features,
+                     precision=jax.lax.Precision.HIGHEST)  # (10T, Pp)
     return packed.reshape(T, 10 * (p_pad // 128), 128)
 
 
@@ -267,34 +303,39 @@ def occ_from_kernel(occ_k, num_pixels: int, num_particles: int,
     return occ_k.reshape(n_pad, p_pad)[:num_pixels, :num_particles].T
 
 
-def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
-                 params_vec, nb: int = 64, interpret: bool = False):
-    """Run the fused kernel for one object.
+def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
+                        num_particles: int, nb: int = 64,
+                        interpret: bool = False):
+    """Run the fused kernel on pre-packed constant slabs.
 
     Args:
-      poses: (P, 7); occ_k: kernel-layout occlusion (occ_to_kernel);
-      z_obs: (N,); cand: (N, K) int32 with -1 already mapped to the
-        degenerate row; rays: (N, 3).
+      gt: (T, 10·Pr, 128) packed slabs (pack_constants; multi-object =
+        concatenation of per-object slabs along the triangle axis).
+      occ_k: kernel-layout occlusion (occ_to_kernel).
+      z_obs: (N,); cand: (N, K) int32 global triangle ids with misses
+        already mapped to a degenerate row; rays: (N, 3).
       params_vec: (16,) f32 (see make_fused_sensor).
     Returns (loglik (P,), occ_post in kernel layout).
     """
-    P = poses.shape[0]
+    P = num_particles
     N = z_obs.shape[0]
     K = cand.shape[1]
     p_pad = _round_up(P, 128)
     pr = p_pad // 128
+    if gt.shape[1] != 10 * pr:
+        raise ValueError(
+            f"gt slab rows {gt.shape[1]} != 10·Pr = {10 * pr}")
     n_pad = _round_up(N, nb)
     if occ_k.shape != (n_pad * pr, 128):
         raise ValueError(
             f"occ_k must be kernel layout {(n_pad * pr, 128)}, got "
             f"{occ_k.shape}; use occ_to_kernel")
 
-    gt = pack_constants(mesh, poses, p_pad)               # (T, 10pr, 128)
     z_in = jnp.pad(z_obs, (0, n_pad - N),
                    constant_values=jnp.nan)[:, None]      # (Npad, 1)
     rays_in = jnp.pad(rays, ((0, n_pad - N), (0, 1)))     # (Npad, 4)
     cand_in = jnp.pad(cand, ((0, n_pad - N), (0, 0)),
-                      constant_values=mesh.padded_triangles - 1)
+                      constant_values=gt.shape[0] - 1)
     params_in = params_vec.reshape(1, -1)
 
     grid = (n_pad // nb,)
@@ -336,6 +377,19 @@ def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
     return loglik, occ_out
 
 
+def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
+                 params_vec, nb: int = 64, interpret: bool = False):
+    """Single-object convenience wrapper: pack + run the fused kernel.
+
+    ``cand`` is (N, K) int32 with -1 already mapped to the degenerate
+    (last) row of the mesh.
+    """
+    P = poses.shape[0]
+    gt = pack_constants(mesh, poses, _round_up(P, 128))
+    return fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
+                               P, nb=nb, interpret=interpret)
+
+
 def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
     """Pack model parameters + propagated-chain coefficients into (16,)."""
     g = op.p_occluded_occluded - op.p_occluded_visible
@@ -359,11 +413,19 @@ class FusedSensor:
     filter treats occlusion as an opaque leaf; the extra hooks —
     ``init_occlusion`` and ``gather_occlusion`` — cover the two places
     the filter must touch it (initialization, resampling lineage gather).
+
+    Multi-object scenes (``FreeFloatingRigidBodiesState`` semantics, D1/P7)
+    run through the *same* kernel on the union triangle list: per-object
+    slabs are concatenated along the triangle axis, the reference pass
+    min-combines per-object raycasts into global candidate ids, and the
+    kernel's min-over-candidates realizes mutual occlusion between tracked
+    objects exactly like the exact renderer's min-over-objects.
     """
 
-    def __init__(self, mesh, camera, bp, op, frame_rate=30.0,
+    def __init__(self, meshes, camera, bp, op, frame_rate=30.0,
                  num_candidates=2, radius=2, nb=64, interpret=None):
-        self.mesh = mesh
+        self.meshes = ([meshes] if isinstance(meshes, TriangleMesh)
+                       else list(meshes))
         self.camera = camera
         self.bp = bp
         self.op = op
@@ -398,40 +460,65 @@ class FusedSensor:
         return occ_from_kernel(occ_k, self.camera.num_pixels,
                                num_particles, self.nb)
 
-    def __call__(self, states, occ_k, z_obs, dt):
+    @property
+    def union_triangles(self) -> int:
+        return sum(m.padded_triangles for m in self.meshes)
+
+    def candidates(self, states):
+        """Reference pass → per-pixel global candidate triangle ids (N, K).
+
+        Raycasts each object at its posterior-mean pose, min-combines
+        depths into a global (union-offset) id image, dilates into
+        candidate sets; misses map to the union's degenerate last row.
+        """
         from dbot_ros_tpu.ops import deferred
         from dbot_ros_tpu.utils import se3
 
-        mesh = self.mesh
-        poses = states[..., 0, :7]
-        ref = se3.states_mean(states[:, 0])[:7]
-        _, ids = deferred.raycast_ids(mesh, ref, self.camera.rays)
-        cand = deferred.candidate_ids(ids, self.camera.height,
+        z_best = None
+        ids_best = None
+        offset = 0
+        for k, mesh in enumerate(self.meshes):
+            ref_k = se3.states_mean(states[:, k])[:7]
+            z_k, ids_k = deferred.raycast_ids(mesh, ref_k,
+                                              self.camera.rays)
+            ids_k = jnp.where(ids_k >= 0, ids_k + offset, -1)
+            if z_best is None:
+                z_best, ids_best = z_k, ids_k
+            else:
+                closer = z_k < z_best
+                z_best = jnp.where(closer, z_k, z_best)
+                ids_best = jnp.where(closer, ids_k, ids_best)
+            offset += mesh.padded_triangles
+
+        cand = deferred.candidate_ids(ids_best, self.camera.height,
                                       self.camera.width, self.radius,
                                       self.num_candidates)
-        cand = jnp.where(cand >= 0, cand,
-                         mesh.padded_triangles - 1).astype(jnp.int32)
+        return jnp.where(cand >= 0, cand,
+                         self.union_triangles - 1).astype(jnp.int32)
+
+    def __call__(self, states, occ_k, z_obs, dt):
+        P = states.shape[0]
+        p_pad = _round_up(P, 128)
+        gt = jnp.concatenate(
+            [pack_constants(mesh, states[:, k, :7], p_pad)
+             for k, mesh in enumerate(self.meshes)], axis=0)
+        cand = self.candidates(states)
         params_vec = make_params_vec(self.bp, self.op,
                                      dt * self.frame_rate)
-        return fused_loglik(mesh, poses, occ_k, z_obs, cand,
-                            self.camera.rays, params_vec, nb=self.nb,
-                            interpret=self.interpret)
+        return fused_loglik_packed(gt, occ_k, z_obs, cand,
+                                   self.camera.rays, params_vec, P,
+                                   nb=self.nb, interpret=self.interpret)
 
 
 def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       frame_rate: float = 30.0, num_candidates: int = 2,
                       radius: int = 2, nb: int = 64,
                       interpret: bool = None) -> FusedSensor:
-    """Single-object fused sensor (the flagship large-particle config).
+    """Fused sensor factory (the flagship large-particle config).
 
+    Accepts one mesh or a list of per-object meshes (multi-object scenes
+    share the kernel via the union triangle list — see FusedSensor).
     interpret defaults to True off-TPU so tests run on the CPU backend.
     """
-    if isinstance(meshes, (list, tuple)):
-        if len(meshes) != 1:
-            raise NotImplementedError(
-                "fused pallas sensor currently supports one object")
-        mesh = meshes[0]
-    else:
-        mesh = meshes
-    return FusedSensor(mesh, camera, bp, op, frame_rate, num_candidates,
+    return FusedSensor(meshes, camera, bp, op, frame_rate, num_candidates,
                        radius, nb, interpret)

@@ -14,7 +14,7 @@ from dbot_ros_tpu.ops.raycast_pallas import (fused_loglik, make_fused_sensor,
                                              occ_to_kernel)
 from dbot_ros_tpu.utils import se3
 from dbot_ros_tpu.utils.camera import make_camera
-from dbot_ros_tpu.utils.mesh import l_shape_mesh
+from dbot_ros_tpu.utils.mesh import box_mesh, l_shape_mesh
 
 
 def setup(P=96):
@@ -96,6 +96,107 @@ def test_fused_sensor_contract():
     best_a = int(jnp.argmax(ll))
     exact_rank = int(jnp.sum(ll_e > ll_e[best_a]))
     assert exact_rank < 8, exact_rank
+
+
+def _perturb_poses(key, ref, P, dpos=0.004, drot=0.02):
+    k1, k2 = jax.random.split(key)
+    return jnp.concatenate(
+        [ref[None, :3] + dpos * jax.random.normal(k1, (P, 3)),
+         jax.vmap(se3.quat_boxplus, in_axes=(None, 0))(
+             ref[3:7], drot * jax.random.normal(k2, (P, 3)))], -1)
+
+
+def test_fused_multi_object_matches_candidate_oracle():
+    """Two objects (partially mutually occluding) through the fused kernel
+    vs an exact jnp intersection of the SAME union candidate sets — the
+    only differences left are density-math (erf normalizer ≈ 1)."""
+    K_cam = np.array([[48.0, 0, 16], [0, 48.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K_cam, 32, 32)
+    meshes = [l_shape_mesh(), box_mesh(0.05, 0.08, 0.04)]
+    bp = beam.make_beam_params(model_sigma=0.005, sigma_factor=0.0)
+    op = occlusion.make_occlusion_params()
+    P = 64
+    refs = [
+        jnp.concatenate([jnp.array([-0.02, 0.0, 0.62]),
+                         se3.quat_identity()]),
+        # box slightly in front and overlapping the L in the image
+        jnp.concatenate([jnp.array([0.03, 0.01, 0.55]),
+                         se3.quat_identity()]),
+    ]
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    poses = jnp.stack(
+        [_perturb_poses(keys[k], refs[k], P) for k in range(2)],
+        axis=1)                                           # (P, 2, 7)
+    states = jnp.zeros((P, 2, 13)).at[..., :7].set(poses)
+
+    from dbot_ros_tpu.models.sensor import render_scene
+    z_true = render_scene(meshes, jnp.stack(refs), cam.rays)
+    z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
+    z_obs = z_obs.at[::29].set(jnp.nan)
+
+    sensor = make_fused_sensor(meshes, cam, bp, op, interpret=True, nb=32)
+    occ0_prob = 0.15
+    occ_k = sensor.init_occlusion(P, occ0_prob)
+    dt = 1.0 / 30.0
+    ll, occ_post_k = sensor(states, occ_k, z_obs, dt)
+
+    # --- oracle: exact intersection of the same union candidates
+    cand = sensor.candidates(states)                      # (N, K)
+    Gs, tns = zip(*[raycast.pose_tri_constants(m, poses[:, k])
+                    for k, m in enumerate(meshes)])
+    Gu = jnp.concatenate(Gs, axis=1)                      # (P, Tu, 3, 3)
+    tnu = jnp.concatenate(tns, axis=1)                    # (P, Tu)
+    Gc = jnp.take(Gu, cand, axis=1)                       # (P, N, K, 3, 3)
+    tc = jnp.take(tnu, cand, axis=1)                      # (P, N, K)
+    nums = jnp.einsum("nd,pnkid->pnki", cam.rays, Gc,
+                      precision=jax.lax.Precision.HIGHEST)
+    t = raycast._intersect_from_numerators(
+        nums[..., 0], nums[..., 1], nums[..., 2], tc)
+    depth = jnp.min(t, axis=-1)                           # (P, N)
+
+    occ0 = jnp.full((P, cam.num_pixels), occ0_prob)
+    ll_ref, occ_ref = image_loglik(depth, z_obs, occ0, bp, op,
+                                   dt_frames=1.0)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=2e-4, atol=0.05)
+    occ_post = sensor.occlusion_as_pn(occ_post_k, P)
+    np.testing.assert_allclose(np.asarray(occ_post), np.asarray(occ_ref),
+                               atol=2e-4)
+    # mutual occlusion is active in this scene: some pixel of the L's
+    # silhouette must be shadowed by the box (depth from the box, i.e. the
+    # oracle depth at those pixels < the L-only depth)
+    d_l_only = raycast.raycast_depth(meshes[0], poses[:, 0], cam.rays, 128)
+    assert bool(jnp.any(depth < d_l_only - 1e-4))
+
+
+def test_fused_backend_tracking_two_objects():
+    """Closed-loop 2-object PF with backend='pallas' (interpret mode)."""
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.runtime import node, sources
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+
+    K_cam = np.array([[48.0, 0, 16], [0, 48.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K_cam, 32, 32)
+    meshes = [l_shape_mesh(), box_mesh(0.05, 0.08, 0.04)]
+    config = cfg.ParticleTrackerConfig(
+        evaluation_count=128, max_kl_divergence=0.8, backend="pallas",
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(0.4, 2.0, damping=4.0), seed=3)
+    tracker = ParticleTracker(config, meshes=meshes, camera=cam)
+    starts = np.array([[-0.04, 0, 0.62, 1, 0, 0, 0],
+                       [0.05, 0.01, 0.55, 1, 0, 0, 0]], np.float32)
+
+    def traj(t):
+        p = starts.copy()
+        p[0, 0] += 0.05 * t / 30.0
+        p[1, 1] -= 0.04 * t / 30.0
+        return p
+
+    src = sources.SyntheticSource(meshes, cam, traj, num_frames=8,
+                                  noise_sigma=0.003, seed=5)
+    result = node.run(tracker, src)
+    assert result.position_rmse() < 0.025, result.position_rmse()
 
 
 def test_fused_backend_tracking():
