@@ -455,6 +455,19 @@ class FusedSensor:
              jnp.arange(p, p_pad, dtype=jnp.int32)])
         return jnp.take(view, idx_full, axis=1).reshape(n_pad * pr, 128)
 
+    def where_occlusion(self, particle_mask, a, b):
+        """Per-particle select between two occlusion maps (kernel layout).
+
+        Used by the distributed ring-exchange resampler: ``mask`` is
+        (P,) bool over particles; lanes of padded particles take ``b``.
+        """
+        p = particle_mask.shape[0]
+        p_pad, n_pad, pr = self._pads(p)
+        m = jnp.concatenate(
+            [particle_mask, jnp.zeros((p_pad - p,), particle_mask.dtype)])
+        mk = jnp.broadcast_to(m[None, :], (n_pad, p_pad))
+        return jnp.where(mk.reshape(n_pad * pr, 128), a, b)
+
     def occlusion_as_pn(self, occ_k, num_particles):
         """Diagnostic view of the occlusion state as (P, N)."""
         return occ_from_kernel(occ_k, self.camera.num_pixels,

@@ -46,6 +46,45 @@ def make_particle_mesh(n_devices: int = None, axis: str = "p") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _occ_hooks(loglik_fn):
+    """Occlusion-leaf hooks: sensor-provided (opaque device layout, e.g.
+    the fused Pallas sensor's kernel layout) or the (P, N) defaults."""
+    gather = getattr(loglik_fn, "gather_occlusion", None) or (
+        lambda occ, idx: jnp.take(occ, idx, axis=0))
+    where = getattr(loglik_fn, "where_occlusion", None) or (
+        lambda mask, a, b: jnp.where(mask[:, None], a, b))
+    return gather, where
+
+
+def init_distributed_belief(key, initial_poses, num_particles: int,
+                            mesh: Mesh, num_pixels: int = None,
+                            initial_occlusion_prob=0.1, sensor=None,
+                            axis: str = "p") -> ParticleBelief:
+    """Sharded belief whose occlusion leaf is per-shard sensor blocks.
+
+    With a sensor that owns its occlusion layout (``init_occlusion``
+    hook), the global leaf is the concatenation of the per-shard local
+    blocks along axis 0 — each shard sees exactly the local layout the
+    sensor expects. Otherwise this is init_belief + shard_belief.
+    """
+    from dbot_ros_tpu.filters.rbcpf import init_belief
+
+    n_shards = mesh.shape[axis]
+    if num_particles % n_shards:
+        raise ValueError(f"num_particles {num_particles} not divisible by "
+                         f"mesh axis size {n_shards}")
+    belief = init_belief(key, initial_poses, num_particles,
+                         num_pixels or 0, initial_occlusion_prob)
+    if sensor is not None and hasattr(sensor, "init_occlusion"):
+        local = sensor.init_occlusion(num_particles // n_shards,
+                                      initial_occlusion_prob)
+        occ = jnp.concatenate([local] * n_shards, axis=0)
+        belief = ParticleBelief(states=belief.states,
+                                log_weights=belief.log_weights,
+                                occlusion=occ, key=belief.key)
+    return shard_belief(belief, mesh, axis)
+
+
 def shard_belief(belief: ParticleBelief, mesh: Mesh,
                  axis: str = "p") -> ParticleBelief:
     """Place particle-axis leaves across the mesh (key replicated)."""
@@ -77,13 +116,33 @@ def _global_log_normalizers(log_w, axis):
 def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
                           trans_params: TransitionParams, dt: float,
                           max_kl_divergence: float = 1.0,
-                          axis: str = "p"):
+                          axis: str = "p", exchange: str = "ring"):
     """Build a jitted multi-chip RBC-PF step (single object per scene).
 
     Returns step(belief_sharded, z_obs) → (belief_sharded, mean_state,
     ess). The observation ``z_obs`` is replicated; all particle-axis
     leaves stay sharded in and out (donated by the caller if desired).
+
+    ``exchange`` picks how resampling fetches parent occlusion maps across
+    shards (the O(P·N_pix) movement — SURVEY.md hard part #2):
+
+      * ``"ring"`` (default): S-step ppermute ring — each shard streams
+        every block past exactly once and plucks the rows its offspring
+        need. Same total ICI traffic as an all_gather but **peak memory
+        O(2 local blocks)** instead of O(S) — the occlusion map never
+        materializes unsharded, so particle counts can scale with the
+        mesh. Block-regular, bisection-friendly traffic.
+      * ``"all_gather"``: gather the full map then take (simplest;
+        bounded by per-chip HBM).
+
+    Parent *states* are always fetched via all_gather — (P, K, 13) floats
+    is negligible. Works with any sensor, including the fused Pallas
+    sensor whose occlusion leaf lives in an opaque kernel layout (hooks
+    ``gather_occlusion``/``where_occlusion``).
     """
+    occ_gather, occ_where = _occ_hooks(loglik_fn)
+    if exchange not in ("ring", "all_gather"):
+        raise ValueError(f"unknown exchange mode: {exchange!r}")
 
     def step_local(states, log_w, occ, key, z_obs):
         # shapes here are the per-shard blocks
@@ -118,14 +177,35 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
                    + idx * p_local + u) / total
             parents = jnp.clip(jnp.searchsorted(cdf, pos, side="left"),
                                0, total - 1)
-            # Fetch parent state + occlusion rows (all_gather of the
-            # particle-axis leaves; see module docstring for the planned
-            # ppermute refinement).
+            # Parent states: tiny, always all_gather.
             st_all = jax.lax.all_gather(states, axis, tiled=True)
-            occ_all = jax.lax.all_gather(occ, axis, tiled=True)
-            return (jnp.take(st_all, parents, axis=0),
-                    jnp.zeros_like(log_w),
-                    jnp.take(occ_all, parents, axis=0))
+            new_states = jnp.take(st_all, parents, axis=0)
+
+            if exchange == "all_gather":
+                occ_all = jax.lax.all_gather(occ, axis, tiled=True)
+                new_occ = jnp.take(occ_all, parents, axis=0)
+            else:
+                # Ring: at round r shard `idx` holds shard (idx+r)%S's
+                # block; it copies the rows of parents owned by that
+                # shard, then passes the block along the ring.
+                ring = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+                def round_body(r, carry):
+                    held, out = carry
+                    src = (idx + r) % n_shards
+                    local_idx = jnp.clip(parents - src * p_local, 0,
+                                         p_local - 1)
+                    mask = ((parents >= src * p_local)
+                            & (parents < (src + 1) * p_local))
+                    out = occ_where(mask, occ_gather(held, local_idx),
+                                    out)
+                    held = jax.lax.ppermute(held, axis, ring)
+                    return held, out
+
+                _, new_occ = jax.lax.fori_loop(
+                    0, n_shards, round_body, (occ, jnp.zeros_like(occ)))
+
+            return (new_states, jnp.zeros_like(log_w), new_occ)
 
         def no_resample(args):
             return args
@@ -186,7 +266,10 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
     part #2. The island model removes it from the common path:
 
       * each shard ("island") runs a complete local PF: local likelihoods,
-        local KL-triggered systematic resampling — **no communication**;
+        local KL-triggered systematic resampling — **no communication**
+        (occlusion lineage gathers use the sensor's ``gather_occlusion``
+        hook, so the fused Pallas sensor's kernel-layout occlusion state
+        works unchanged inside shard_map);
       * the island itself carries a log-weight ``b_i`` (its share of the
         global marginal likelihood), updated with the island's local
         logsumexp increment each frame;
@@ -204,6 +287,7 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
     offset b_i/L added to every local log weight, so the global weight
     vector remains exactly the importance weights of the full filter).
     """
+    occ_gather, _ = _occ_hooks(loglik_fn)
 
     def step_local(states, log_w, occ, key, z_obs):
         idx = jax.lax.axis_index(axis)
@@ -242,7 +326,7 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
                      + jax.random.uniform(k_res, ())) / p_local,
                     side="left"), 0, p_local - 1)
             return (jnp.take(states, parents, axis=0),
-                    jnp.take(occ, parents, axis=0),
+                    occ_gather(occ, parents),
                     jnp.full((p_local,), -jnp.log(jnp.float32(p_local))))
 
         def no_local_resample(args):

@@ -119,6 +119,93 @@ def test_distributed_matches_single_device_statistics():
     assert np.linalg.norm(e2) < 0.008
 
 
+def test_ring_exchange_matches_all_gather():
+    """The memory-bounded ring-ppermute parent fetch must produce exactly
+    the all_gather resampler's output (same belief → same RNG → same
+    parents)."""
+    cam, mesh, tp, sensor = setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+
+    def make_belief():
+        b = rbcpf.init_belief(jax.random.PRNGKey(9), pose0, 64,
+                              cam.num_pixels)
+        # uneven weights + distinct occlusion rows so a wrong parent fetch
+        # is visible in the occlusion leaf
+        occ = jnp.linspace(0.05, 0.9, 64)[:, None] * jnp.ones(
+            (64, cam.num_pixels))
+        lw = jnp.sin(jnp.arange(64.0)) * 3.0
+        b = rbcpf.ParticleBelief(states=b.states, log_weights=lw,
+                                 occlusion=occ, key=b.key)
+        return dist_filter.shard_belief(b, mesh_dev)
+
+    outs = {}
+    for mode in ("ring", "all_gather"):
+        step = dist_filter.make_distributed_step(
+            mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.01,
+            exchange=mode)
+        b2, mean_state, ess = step(make_belief(), z)
+        outs[mode] = (b2, mean_state)
+    np.testing.assert_allclose(np.asarray(outs["ring"][0].occlusion),
+                               np.asarray(outs["all_gather"][0].occlusion),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["ring"][0].states),
+                               np.asarray(outs["all_gather"][0].states),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["ring"][1]),
+                               np.asarray(outs["all_gather"][1]), atol=1e-6)
+
+
+def _fused_setup(n_particles=64):
+    from dbot_ros_tpu.utils.mesh import l_shape_mesh
+
+    K = np.array([[28.0, 0, 10], [0, 28.0, 10], [0, 0, 1.0]])
+    cam = make_camera(K, 20, 20)
+    mesh = l_shape_mesh()
+    bp = beam.make_beam_params(model_sigma=0.005, sigma_factor=0.0)
+    op = occlusion.make_occlusion_params()
+    tp = transition.make_transition_params(0.4, 1.5, damping=8.0)
+    sensor = make_rb_sensor(mesh, cam, bp, op, backend="pallas",
+                            interpret=True, nb=32)
+    return cam, mesh, tp, sensor
+
+
+@pytest.mark.parametrize("make_step", ["ring", "island"])
+def test_distributed_fused_pallas_sensor(make_step):
+    """The fused Pallas sensor (kernel-layout occlusion leaf) inside
+    shard_map: both the exact ring-exchange step and the island step must
+    track on the virtual 8-device mesh."""
+    cam, mesh, tp, sensor = _fused_setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    b = dist_filter.init_distributed_belief(
+        jax.random.PRNGKey(4), pose0, 64, mesh_dev,
+        num_pixels=cam.num_pixels, sensor=sensor)
+    assert b.occlusion.shape[0] % 8 == 0
+    if make_step == "ring":
+        step = dist_filter.make_distributed_step(
+            mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.5,
+            exchange="ring")
+    else:
+        step = dist_filter.make_island_step(
+            mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.5,
+            island_max_kl=0.3)
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+    for t in range(8):
+        b, mean_state, ess = step(b, z)
+    err = float(jnp.linalg.norm(mean_state[:3] - pose0[:3]))
+    assert err < 0.015, err
+    assert float(ess) > 1.0
+    assert len(b.states.sharding.device_set) == 8
+    # occlusion stayed in the kernel layout (opaque leaf, right shape)
+    assert b.occlusion.shape[1] == 128
+
+
 def test_scaling_harness_mechanics():
     """Weak-scaling sweep runs and reports sane efficiency numbers on the
     virtual CPU mesh (absolute values meaningless off-hardware)."""
