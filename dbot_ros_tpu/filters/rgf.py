@@ -79,16 +79,22 @@ class RgfStepInfo:
 def init_belief(key, initial_pose, num_pixels: int = 0, first_frame=None,
                 pos_sigma=0.02, rot_sigma=0.1, vel_sigma=0.1,
                 background_depth=5.0) -> GaussianBelief:
-    """Gaussian init around the given pose (ref: GaussianTracker init).
+    """Gaussian init around the given pose(s) (ref: GaussianTracker init).
+
+    ``initial_pose`` (7,) → single-object belief (mean (13,), cov 12×12);
+    (K, 7) → scene belief (mean (K, 13), joint block-diagonal cov).
 
     The background map starts from ``first_frame`` where valid (a depth
     frame taken at/before initialization), else at ``background_depth``;
     it keeps learning online during tracking.
     """
-    mean = jnp.zeros((13,), jnp.float32).at[:7].set(initial_pose)
-    diag = jnp.concatenate([
+    initial_pose = jnp.asarray(initial_pose, jnp.float32)
+    K = initial_pose.shape[0] if initial_pose.ndim == 2 else 1
+    mean = jnp.zeros(initial_pose.shape[:-1] + (13,),
+                     jnp.float32).at[..., :7].set(initial_pose)
+    diag = jnp.tile(jnp.concatenate([
         jnp.full((3,), pos_sigma ** 2), jnp.full((3,), rot_sigma ** 2),
-        jnp.full((6,), vel_sigma ** 2)]).astype(jnp.float32)
+        jnp.full((6,), vel_sigma ** 2)]), K).astype(jnp.float32)
     if first_frame is not None:
         bg = jnp.where(jnp.isfinite(first_frame), first_frame,
                        jnp.float32(background_depth))
@@ -98,16 +104,30 @@ def init_belief(key, initial_pose, num_pixels: int = 0, first_frame=None,
                           key=key)
 
 
+def _scene_mean(mean):
+    """Normalize (13,) | (K, 13) → ((K, 13), was_single)."""
+    single = mean.ndim == 1
+    return (mean[None] if single else mean), single
+
+
 def predict(belief: GaussianBelief, dt, params: TransitionParams,
             ut=None) -> GaussianBelief:
-    """UKF prediction through the damped-Wiener dynamics."""
+    """UKF prediction through the damped-Wiener dynamics.
+
+    Works on single-object beliefs (mean (13,), cov 12×12) and K-object
+    scene beliefs (mean (K, 13), cov 12K×12K — joint tangent space;
+    process noise is block-diagonal per object)."""
     ut = ut or sp.default_ut_params()
-    states, _, wm, wc = sp.sigma_points(belief.mean, belief.cov, **ut)
+    mean0, single = _scene_mean(belief.mean)
+    K = mean0.shape[0]
+    states, _, wm, wc = sp.scene_sigma_points(mean0, belief.cov, **ut)
     prop = transition_mean(states, dt, params)
-    mean, cov, _ = sp.reconstruct_moments(prop, prop[0], wm, wc)
-    cov = cov + process_noise_cov(dt, params, cov.dtype)
-    return GaussianBelief(mean=mean, cov=cov, background=belief.background,
-                          key=belief.key)
+    mean, cov, _ = sp.scene_reconstruct_moments(prop, prop[0], wm, wc)
+    Q = process_noise_cov(dt, params, cov.dtype)
+    cov = cov + (Q if K == 1 else
+                 jnp.kron(jnp.eye(K, dtype=cov.dtype), Q))
+    return GaussianBelief(mean=mean[0] if single else mean, cov=cov,
+                          background=belief.background, key=belief.key)
 
 
 def _gauss(y, m, var):
@@ -150,10 +170,15 @@ def update(belief: GaussianBelief, z_obs, render_fn,
       background map (which also learns slowly, EMA 0.2).
 
     Args:
-      render_fn: poses (S, 7) → predicted depths (S, N); inf = miss.
+      render_fn: poses (S, 7) → predicted depths (S, N) for single-object
+        beliefs; poses (S, K, 7) → (S, N) (min over objects) for scene
+        beliefs; inf = miss.
     """
     ut = ut or sp.default_ut_params()
-    P = belief.cov + 1e-10 * jnp.eye(12, dtype=belief.cov.dtype)
+    mean0, single = _scene_mean(belief.mean)
+    K = mean0.shape[0]
+    D = 12 * K
+    P = belief.cov + 1e-10 * jnp.eye(D, dtype=belief.cov.dtype)
     P_inv = jnp.linalg.inv(P)
     step_cap = trust_sigma * jnp.sqrt(jnp.diagonal(P))
     bg = belief.background
@@ -166,10 +191,10 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # the *linearization* covariance (never the belief) keeps edges
     # observable at sub-pixel convergence; H stays a valid linearization,
     # just computed over a wider probe region.
-    floor = jnp.concatenate([
+    floor = jnp.tile(jnp.concatenate([
         jnp.full((3,), lin_floor_pos ** 2),
         jnp.full((3,), lin_floor_rot ** 2),
-        jnp.zeros((6,))]).astype(P.dtype)
+        jnp.zeros((6,))]), K).astype(P.dtype)
     P_lin = P + jnp.diag(floor)
 
     def linearize(mean):
@@ -187,8 +212,9 @@ def update(belief: GaussianBelief, z_obs, render_fn,
         (the object may or may not be behind it) — exactly the latent
         occlusion semantics the PF gets from its occlusion chain (D10).
         """
-        states, deltas, wm, wc = sp.sigma_points(mean, P_lin, **ut)
-        Y_raw = render_fn(states[..., :7])              # (S, N)
+        states, deltas, wm, wc = sp.scene_sigma_points(mean, P_lin, **ut)
+        poses = states[:, 0, :7] if single else states[..., :7]
+        Y_raw = render_fn(poses)                        # (S, N)
         hit = jnp.isfinite(Y_raw)
         hitf = hit.astype(jnp.float32)
         Y = jnp.where(hit, Y_raw, 0.0)
@@ -241,7 +267,7 @@ def update(belief: GaussianBelief, z_obs, render_fn,
 
     def information(channels):
         Lam = P_inv
-        rhs = jnp.zeros((12,), P.dtype)
+        rhs = jnp.zeros((D,), P.dtype)
         for H, iR, innov in channels:
             Ht_iR = H.T * iR[None, :]                   # (12, N)
             Lam = Lam + Ht_iR @ H
@@ -252,7 +278,7 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # the running mean; each tangent step is trust-region-clipped to the
     # prior sigma ellipsoid (the linearization is meaningless beyond the
     # sigma-point spread — the measurement is discontinuous in the pose).
-    mean = belief.mean
+    mean = mean0
     chans = r_obj = p_hit = None
     for _ in range(iterations):
         chan_d, chan_s, r_obj, p_hit = linearize(mean)
@@ -260,10 +286,10 @@ def update(belief: GaussianBelief, z_obs, render_fn,
         Lam, rhs = information(chans)
         # Gauss-Newton step around the current mean: account for the
         # displacement already taken from the prior mean.
-        d0 = se3.state_boxminus(mean, belief.mean)
+        d0 = se3.state_boxminus(mean, mean0).reshape(-1)
         delta = jnp.linalg.solve(Lam, rhs - P_inv @ d0)
         delta = jnp.clip(delta, -step_cap, step_cap)
-        mean = se3.state_boxplus(mean, delta)
+        mean = se3.state_boxplus(mean, delta.reshape(K, 12))
 
     Lam, _ = information(chans)
     cov_new = jnp.linalg.inv(Lam)
@@ -277,7 +303,8 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     bg_new = jnp.where(learn, 0.8 * bg + 0.2
                        * jnp.where(jnp.isfinite(z_obs), z_obs, bg), bg)
 
-    nb = GaussianBelief(mean=mean, cov=cov_new, background=bg_new,
+    mean_out = mean[0] if single else mean
+    nb = GaussianBelief(mean=mean_out, cov=cov_new, background=bg_new,
                         key=belief.key)
     (H_d, iR_d, innov_d), _ = chans
     w = r_obj / jnp.maximum(jnp.sum(r_obj), 1e-6)
@@ -285,7 +312,7 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # object — the inlier-rate diagnostic (drops under occlusion).
     on_obj = p_hit > 0.5
     info = RgfStepInfo(
-        mean_state=mean,
+        mean_state=mean_out,
         mean_beta=jnp.sum(r_obj * on_obj) / jnp.maximum(
             jnp.sum(on_obj.astype(jnp.float32)), 1.0),
         innovation_rms=jnp.sqrt(jnp.sum(w * innov_d * innov_d)))

@@ -61,6 +61,43 @@ def sigma_points(mean_state, cov, alpha=1.0, beta=2.0, kappa=1.0):
     return states, deltas, w_mean, w_cov
 
 
+def scene_sigma_points(mean_states, cov, alpha=1.0, beta=2.0, kappa=1.0):
+    """Sigma points for a K-object scene (joint tangent space).
+
+    Args:
+      mean_states: (K, 13); cov: (12K, 12K) joint tangent covariance
+        (inter-object correlations welcome — mutual occlusion induces
+        them through the joint update).
+    Returns (states (2n+1, K, 13), deltas (2n+1, 12K), w_mean, w_cov).
+    """
+    K = mean_states.shape[0]
+    n = cov.shape[-1]
+    w_mean, w_cov, lam = unscented_weights(n, alpha, beta, kappa)
+    scaled = (n + lam) * cov + 1e-12 * jnp.eye(n, dtype=cov.dtype)
+    L = jnp.linalg.cholesky(scaled)
+    deltas = jnp.concatenate([
+        jnp.zeros((1, n), cov.dtype), L.T, -L.T], axis=0)  # (2n+1, n)
+    states = se3.state_boxplus(mean_states[None],
+                               deltas.reshape(-1, K, TANGENT_DIM))
+    return states, deltas, w_mean, w_cov
+
+
+def scene_reconstruct_moments(states, ref_states, w_mean, w_cov):
+    """Joint tangent moments of scene sigma states (K objects).
+
+    Args: states (S, K, 13), ref_states (K, 13).
+    Returns (mean_states (K, 13), cov (12K, 12K), centered (S, 12K)).
+    """
+    S = states.shape[0]
+    tangents = se3.state_boxminus(states, ref_states[None]).reshape(S, -1)
+    mean_t = jnp.einsum("s,st->t", w_mean, tangents)
+    mean_states = se3.state_boxplus(
+        ref_states, mean_t.reshape(-1, TANGENT_DIM))
+    centered = tangents - mean_t[None, :]
+    cov = jnp.einsum("s,si,sj->ij", w_cov, centered, centered)
+    return mean_states, cov, centered
+
+
 def reconstruct_moments(states, ref_state, w_mean, w_cov):
     """Tangent-space mean/cov of sigma states, referenced at ``ref_state``.
 

@@ -1,8 +1,13 @@
 """Gaussian tracker facade + builder (ref D20 GaussianTracker + D21
 GaussianTrackerBuilder).
 
-Single-object robust-Gaussian-filter tracker; same user surface as the
-particle tracker (initialize/track, model-frame poses, EMA smoothing).
+Robust-Gaussian-filter tracker; same user surface as the particle
+tracker (initialize/track, model-frame poses, EMA smoothing). Multi-object
+scenes run the joint RGF (state (K, 13), joint 12K-dim tangent covariance,
+min-over-objects render — mutual occlusion is geometric, exactly like the
+particle sensors). ``pixel_stride`` evaluates the update on a sparse pixel
+subset (the ICRA-2016 paper's sparse-sensor trick), cutting render and
+update cost by the stride factor.
 """
 
 from __future__ import annotations
@@ -26,18 +31,18 @@ from dbot_ros_tpu.utils.mesh import TriangleMesh
 class GaussianTracker:
     def __init__(self, config: cfg.GaussianTrackerConfig,
                  mesh: Optional[TriangleMesh] = None,
-                 camera: Optional[CameraModel] = None):
+                 camera: Optional[CameraModel] = None,
+                 meshes=None):
         self.config = config
         self.camera = camera if camera is not None else build_camera(
             config.camera)
-        if mesh is None:
-            meshes = build_meshes(config.object)
-            if len(meshes) != 1:
-                raise ValueError(
-                    "GaussianTracker tracks exactly one object "
-                    f"(got {len(meshes)} meshes); use ParticleTracker")
-            mesh = meshes[0]
-        self.mesh = mesh
+        if meshes is None:
+            meshes = [mesh] if mesh is not None else build_meshes(
+                config.object)
+        self.meshes = list(meshes)
+        self.mesh = self.meshes[0]
+        self.num_objects = len(self.meshes)
+        self._single = self.num_objects == 1
 
         obs = config.observation
         self.beam_params = beam.make_beam_params(
@@ -49,11 +54,24 @@ class GaussianTracker:
             tr.linear_acceleration_sigma, tr.angular_acceleration_sigma,
             tr.damping)
 
-        rays = self.camera.rays
-        mesh_ = self.mesh
+        # Sparse-pixel sensor subset (static → jit-friendly gathers).
+        stride = max(int(config.pixel_stride), 1)
+        self._pixel_idx = (None if stride == 1 else
+                           jnp.arange(0, self.camera.num_pixels, stride))
+        rays = (self.camera.rays if self._pixel_idx is None
+                else self.camera.rays[self._pixel_idx])
+        meshes_ = self.meshes
+        single = self._single
 
         def render_fn(poses):
-            return raycast_depth(mesh_, poses, rays)
+            # (S, 7) single-object | (S, K, 7) scene → (S, n_sub)
+            if single:
+                return raycast_depth(meshes_[0], poses, rays)
+            depth = None
+            for k, m in enumerate(meshes_):
+                d = raycast_depth(m, poses[..., k, :], rays)
+                depth = d if depth is None else jnp.minimum(depth, d)
+            return depth
 
         self._dt = 1.0 / config.camera.frame_rate
         self._step = jax.jit(functools.partial(
@@ -67,16 +85,31 @@ class GaussianTracker:
         self.belief: Optional[rgf.GaussianBelief] = None
         self._smoothed = None
 
+    @property
+    def centers(self):
+        return jnp.stack([m.center for m in self.meshes])
+
+    def _to_center(self, poses_model):
+        if self._single:
+            return base.to_center_frame(poses_model.reshape(7),
+                                        self.mesh.center)
+        return base.to_center_frame(
+            poses_model.reshape(self.num_objects, 7), self.centers)
+
     def initialize(self, pose_model, first_frame=None):
-        pose_model = jnp.asarray(pose_model, jnp.float32).reshape(7)
-        pose_center = base.to_center_frame(pose_model, self.mesh.center)
+        pose_model = jnp.asarray(pose_model, jnp.float32)
+        pose_center = self._to_center(pose_model)
         c = self.config
         if first_frame is not None:
             first_frame = preprocess_depth(
                 jnp.asarray(first_frame, jnp.float32).reshape(-1))
+            if self._pixel_idx is not None:
+                first_frame = first_frame[self._pixel_idx]
+        num_pixels = (self.camera.num_pixels if self._pixel_idx is None
+                      else self._pixel_idx.shape[0])
         self.belief = rgf.init_belief(
             jax.random.PRNGKey(c.seed), pose_center,
-            num_pixels=self.camera.num_pixels, first_frame=first_frame,
+            num_pixels=num_pixels, first_frame=first_frame,
             pos_sigma=c.init_pos_sigma, rot_sigma=c.init_rot_sigma,
             vel_sigma=c.init_vel_sigma,
             background_depth=float(self.beam_params.max_depth))
@@ -85,16 +118,21 @@ class GaussianTracker:
     def restore(self, belief: rgf.GaussianBelief):
         """Resume from a checkpointed belief (runtime/checkpoint.py)."""
         self.belief = belief
-        self._smoothed = belief.mean[:7]
+        self._smoothed = belief.mean[..., :7]
 
     def track(self, depth_image):
         if self.belief is None:
             raise RuntimeError("call initialize(pose) before track()")
         z = preprocess_depth(jnp.asarray(depth_image,
                                          jnp.float32).reshape(-1))
+        if self._pixel_idx is not None:
+            z = z[self._pixel_idx]
         self.belief, info = self._step(self.belief, z)
-        new_pose = self.belief.mean[:7]
+        new_pose = self.belief.mean[..., :7]
         self._smoothed = base.moving_average_pose(
             self._smoothed, new_pose,
             self.config.moving_average_update_rate)
-        return base.to_model_frame(self._smoothed, self.mesh.center), info
+        if self._single:
+            return (base.to_model_frame(self._smoothed, self.mesh.center),
+                    info)
+        return base.to_model_frame(self._smoothed, self.centers), info

@@ -184,6 +184,39 @@ def test_gaussian_tracker_closed_loop():
     assert np.mean(errs[6:]) < 0.015, errs
 
 
+def test_gaussian_tracker_two_objects_and_stride():
+    """Multi-object Gaussian tracker (joint RGF) with sparse-pixel
+    subsampling (pixel_stride=2, the ICRA sparse-sensor trick)."""
+    cam = small_camera()
+    meshes = [l_shape_mesh(), box_mesh(0.06, 0.10, 0.05)]
+    config = cfg.GaussianTrackerConfig(
+        pixel_stride=2,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0,
+                                          tail_weight=0.05),
+        transition=cfg.TransitionConfig(linear_acceleration_sigma=0.3,
+                                        angular_acceleration_sigma=2.0,
+                                        damping=4.0))
+    tracker = GaussianTracker(config, meshes=meshes, camera=cam)
+    starts = np.array([[-0.06, 0.01, 0.6, 1, 0, 0, 0],
+                       [0.07, -0.01, 0.68, 1, 0, 0, 0]], np.float32)
+
+    def traj(t):
+        p = starts.copy()
+        p[0, 0] += 0.04 * t / 30.0
+        p[1, 2] += 0.03 * t / 30.0
+        return p
+
+    src = sources.SyntheticSource(meshes, cam, traj, num_frames=12,
+                                  noise_sigma=0.003, seed=6)
+    result = node.run(tracker, src)
+    errs = result.position_errors()  # (T, K)
+    assert np.mean(errs[6:, 0]) < 0.015, errs
+    assert np.mean(errs[6:, 1]) < 0.015, errs
+    # sparse sensor subset really is smaller
+    assert tracker.belief.background.shape[0] == cam.num_pixels // 2
+
+
 # --------------------------------------------------- replay + recording
 
 def test_replay_source_roundtrip(tmp_path):
