@@ -199,6 +199,60 @@ def test_fused_backend_tracking_two_objects():
     assert result.position_rmse() < 0.025, result.position_rmse()
 
 
+def test_active_pixel_compaction_exact():
+    """Compaction must be bit-compatible with the full kernel: same loglik
+    (background constants restored) and same occlusion posterior, in both
+    the compact branch and the over-cap fallback branch."""
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=64)
+    states = jnp.zeros((64, 1, 13)).at[:, 0, :7].set(poses[:64])
+    dt = 1.0 / 30.0
+
+    def run(frac, tri_frac=1.0):
+        sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True,
+                                   nb=32, active_cap_frac=frac,
+                                   tri_cap_frac=tri_frac)
+        occ_k = occ_to_kernel(occ0[:64], nb=32)
+        ll, occ_post = sensor(states, occ_k, z_obs, dt)
+        return ll, sensor.occlusion_as_pn(occ_post, 64)
+
+    ll_full, occ_full = run(1.0)       # compaction off
+    ll_half, occ_half = run(0.5)       # compact branch (silhouette small)
+    ll_tiny, occ_tiny = run(0.04)      # cap=64 px < active → full fallback
+    # loglik equality up to f32 accumulation order (|ll| ~ 1.7e3 over
+    # 1024 adds); the spread of the difference across particles (what the
+    # filter weights actually see) must be far tighter.
+    d = np.asarray(ll_half) - np.asarray(ll_full)
+    np.testing.assert_allclose(d, d.mean(), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ll_half), np.asarray(ll_full),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(occ_half), np.asarray(occ_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ll_tiny), np.asarray(ll_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(occ_tiny), np.asarray(occ_full),
+                               atol=1e-6)
+    # triangle compaction: compact-tri branch and over-cap fallback
+    ll_tri, occ_tri = run(0.5, tri_frac=0.6)   # uniq fits → compact pack
+    d2 = np.asarray(ll_tri) - np.asarray(ll_full)
+    np.testing.assert_allclose(d2, d2.mean(), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ll_tri), np.asarray(ll_full),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(occ_tri), np.asarray(occ_full),
+                               atol=1e-5)
+    ll_tf, occ_tf = run(1.0, tri_frac=0.02)    # tcap < uniq → full fallback
+    np.testing.assert_allclose(np.asarray(ll_tf), np.asarray(ll_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(occ_tf), np.asarray(occ_full),
+                               atol=1e-6)
+    # sanity: the scene really has active pixels between 64 and cap(0.5)
+    sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True, nb=32,
+                               active_cap_frac=0.5)
+    cand = sensor.candidates(states)
+    n_act = int(jnp.sum(jnp.any(cand != sensor.union_triangles - 1,
+                                axis=1)))
+    assert 64 < n_act <= sensor._active_cap(cam.num_pixels), n_act
+
+
 def test_fused_backend_tracking():
     """Closed-loop PF with backend='pallas' (interpret mode)."""
     from dbot_ros_tpu import config as cfg
