@@ -1,0 +1,75 @@
+"""TPU experiment 4: cached pack matrix + cap sweep (chained timings)."""
+import os, time, functools
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+import jax, jax.numpy as jnp, numpy as np
+from dbot_ros_tpu.filters import rbcpf
+from dbot_ros_tpu.models import beam, occlusion, transition
+from dbot_ros_tpu.models.sensor import make_rb_sensor
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import default_kinect_camera
+from dbot_ros_tpu.utils.mesh import icosphere_mesh
+from dbot_ros_tpu.ops.raycast import raycast_depth
+
+print("devices:", jax.devices(), flush=True)
+P = 10_000
+cam = default_kinect_camera(8)
+mesh = icosphere_mesh(radius=0.06, subdivisions=3)
+bp = beam.make_beam_params(model_sigma=0.005)
+op = occlusion.make_occlusion_params()
+tp = transition.make_transition_params(0.1, 0.5, damping=4.0)
+ref = jnp.concatenate([jnp.array([0.,0.,0.8]), se3.quat_identity()])
+z_true = raycast_depth(mesh, ref, cam.rays)
+z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
+p_pad = (P + 127) // 128 * 128
+key = jax.random.PRNGKey(0)
+poses = jnp.concatenate([ref[None, :3] + 0.01*jax.random.normal(key,(P,3)),
+                         jnp.tile(ref[None, 3:7], (P, 1))], -1)
+states = jnp.zeros((P, 1, 13), jnp.float32).at[:, 0, :7].set(poses)
+
+def timed_loop(name, step, state, iters=30):
+    state = step(state); jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter()-t0)/iters
+    print(f"{name}: {dt*1000:.2f} ms", flush=True)
+    return dt
+
+for caps, tag in [((0.5, 0.75), "default-caps"), ((0.08, 0.19), "tight-caps")]:
+    sensor = make_rb_sensor(mesh, cam, bp, op, backend="pallas",
+                            active_cap_frac=caps[0], tri_cap_frac=caps[1])
+    print(f"--- {tag}: pcap={sensor._active_cap(cam.num_pixels)} "
+          f"tcap={sensor._tri_cap()}", flush=True)
+    # pack-only, chained through a pose perturbation
+    def pack_step(carry):
+        s, acc = carry
+        gt = sensor._pack_full(s, p_pad)
+        return (s.at[0, 0, 0].add(gt[0, 0, 0] * 1e-30), gt)
+    pk = jax.jit(pack_step)
+    dt = timed_loop("  pack_full chained", pk, (states, None))
+    # sensor step, chained through occ
+    occ0 = sensor.init_occlusion(P, 0.1)
+    st = jax.jit(lambda o: sensor(states, o, z_obs, 1.0/30.0)[1])
+    dt_s = timed_loop("  sensor step", st, occ0)
+    # full filter step
+    belief = rbcpf.init_belief(jax.random.PRNGKey(0), ref, P,
+                               cam.num_pixels, sensor=sensor)
+    stepf = jax.jit(functools.partial(rbcpf.rbcpf_step, loglik_fn=sensor,
+                                      trans_params=tp, dt=1/30.,
+                                      max_kl_divergence=1e9),
+                    donate_argnums=(0,))
+    dt_f = timed_loop("  rbcpf never-resample", lambda b: stepf(b, z_obs)[0],
+                      belief)
+    belief = rbcpf.init_belief(jax.random.PRNGKey(0), ref, P,
+                               cam.num_pixels, sensor=sensor)
+    stepa = jax.jit(functools.partial(rbcpf.rbcpf_step, loglik_fn=sensor,
+                                      trans_params=tp, dt=1/30.,
+                                      max_kl_divergence=-1.0),
+                    donate_argnums=(0,))
+    dt_a = timed_loop("  rbcpf always-resample", lambda b: stepa(b, z_obs)[0],
+                      belief)
+    print(f"  evals/s {P*cam.num_pixels/dt_s:.3e} vs_baseline "
+          f"{P*cam.num_pixels/dt_s/1.44e9:.2f}", flush=True)
+print("DONE", flush=True)

@@ -132,7 +132,8 @@ def pose_features(poses, p_pad: int):
     return F.T                                            # (37, Pp)
 
 
-def pack_constants(mesh: TriangleMesh, poses, p_pad: int, features=None):
+def pack_constants(mesh: TriangleMesh, poses, p_pad: int, features=None,
+                   M=None):
     """poses (P, 7) → (T, 10·Pr, 128) slabs, Pr = p_pad // 128.
 
     Slab rows: [g_u(3) | g_v(3) | g_det(3) | t_num] per component block of
@@ -141,16 +142,20 @@ def pack_constants(mesh: TriangleMesh, poses, p_pad: int, features=None):
 
     One f32 matmul (10T, 37) @ (37, Pp) straight into the transposed
     (triangle-major, particle-lanes) layout: the slab tensor is written
-    once, bound by its own HBM write (~1 ms at the 10k north star vs
-    ~10 ms for the previous small-einsum chain).
+    once, bound by its own HBM write.
+
+    Pass a precomputed ``M`` (pack_matrix(mesh), static per mesh) in hot
+    paths: when M's construction is traced inline, XLA fuses it into the
+    dot operand and drops off the MXU path.
     """
     T = mesh.padded_triangles
     if features is None:
         features = pose_features(poses, p_pad)
-    M = pack_matrix(mesh).reshape(T * 10, 37)
+    if M is None:
+        M = pack_matrix(mesh)
     # HIGH = 3-pass bf16 (~2^-21 relative) — micrometer-scale geometry
-    # error at 1 m, half the MXU passes of HIGHEST (measured 2x).
-    packed = jnp.dot(M, features,
+    # error at 1 m.
+    packed = jnp.dot(M.reshape(T * 10, 37), features,
                      precision=jax.lax.Precision.HIGH)     # (10T, Pp)
     return packed.reshape(T, 10 * (p_pad // 128), 128)
 
@@ -423,26 +428,46 @@ class FusedSensor:
     kernel's min-over-candidates realizes mutual occlusion between tracked
     objects exactly like the exact renderer's min-over-objects.
 
-    **Active-pixel compaction** (``active_cap_frac`` < 1): pixels whose
-    candidate set is all-degenerate are misses for *every* particle — their
-    likelihood is a particle-independent background constant and their
-    occlusion update is the closed-form prior propagation. Such pixels are
-    excluded from the kernel (typically 60–80 % of the frame for a
-    fist-sized object at 0.8 m), cutting the dominant per-pixel slab DMA
-    proportionally. Exact: the background constant is added back, the
-    propagated occlusion is written elementwise, and a frame whose active
-    count exceeds the static cap falls back to the full kernel
-    (``lax.cond``).
+    **Active-set compaction** (``levels``): pixels whose candidate set is
+    all-degenerate are misses for *every* particle — their likelihood is a
+    particle-independent background constant and their occlusion update is
+    the closed-form prior propagation; likewise only candidate triangles
+    need constant-packing. Each compaction level is a static (pixel,
+    triangle) budget pair compiled as its own kernel; per frame the
+    smallest fitting level runs (nested ``lax.cond``), falling back to the
+    full kernel for oversized silhouettes. Exact at every level: the
+    background constant is added back and the propagated occlusion is
+    written elementwise. A reference-class scene (hand-held object,
+    ~1–10 % frame fill) hits the tight level — measured 2.9× over the
+    uncompacted kernel at the 10k-particle north star (v5e).
     """
 
     def __init__(self, meshes, camera, bp, op, frame_rate=30.0,
                  num_candidates=2, radius=2, nb=64, interpret=None,
-                 active_cap_frac=0.5, tri_cap_frac=0.75):
+                 active_cap_frac=None, tri_cap_frac=None, levels=None):
         self.meshes = ([meshes] if isinstance(meshes, TriangleMesh)
                        else list(meshes))
         self.camera = camera
-        self.active_cap_frac = float(active_cap_frac)
-        self.tri_cap_frac = float(tri_cap_frac)
+        if levels is None:
+            if active_cap_frac is not None or tri_cap_frac is not None:
+                # legacy single-level API
+                levels = [(1.0 if active_cap_frac is None
+                           else float(active_cap_frac),
+                           1.0 if tri_cap_frac is None
+                           else float(tri_cap_frac))]
+            else:
+                levels = [(1.0 / 12.0, 0.2), (0.5, 0.75)]
+        self.levels = [(float(a), float(t)) for a, t in levels]
+        # Static per-mesh pack matrices, concrete at trace time (see
+        # pack_constants: inline construction defeats the MXU dot).
+        self._pack_M = [jax.device_put(pack_matrix(m)) for m in self.meshes]
+        K = len(self.meshes)
+        blocks = []
+        for k, Mk in enumerate(self._pack_M):
+            b = jnp.zeros((Mk.shape[0], 10, 37 * K), jnp.float32)
+            blocks.append(b.at[:, :, 37 * k:37 * (k + 1)].set(Mk))
+        self._pack_M_union = jax.device_put(
+            jnp.concatenate(blocks, axis=0))          # (Tu, 10, 37K)
         self.bp = bp
         self.op = op
         self.frame_rate = frame_rate
@@ -525,33 +550,33 @@ class FusedSensor:
         return jnp.where(cand >= 0, cand,
                          self.union_triangles - 1).astype(jnp.int32)
 
-    def _active_cap(self, num_pixels: int):
-        """Static kernel-pixel budget for compaction (None = disabled)."""
-        if self.active_cap_frac >= 1.0:
+    def _active_cap(self, num_pixels: int, frac: float):
+        """Static kernel-pixel budget for one level (None = no compaction)."""
+        if frac >= 1.0:
             return None
         import math
-        cap = _round_up(int(math.ceil(num_pixels * self.active_cap_frac)),
-                        self.nb)
+        cap = _round_up(int(math.ceil(num_pixels * frac)), self.nb)
         return None if cap >= num_pixels else cap
 
-    def _tri_cap(self):
+    def _tri_cap(self, frac: float):
         """Static packed-triangle budget (None = pack all triangles).
 
         Bounds the number of distinct candidate triangles per frame —
         for closed meshes only front-facing triangles (≲60 %) can appear
-        in the reference id image, so 0.75 is a safe default; frames that
-        exceed it fall back to the full pack (exactness preserved).
+        in the reference id image, so 0.75 is a safe upper level; frames
+        that exceed a level escalate to the next (exactness preserved).
         """
-        if self.tri_cap_frac >= 1.0:
+        if frac >= 1.0:
             return None
         import math
         cap = _round_up(
-            int(math.ceil(self.union_triangles * self.tri_cap_frac)), 8)
+            int(math.ceil(self.union_triangles * frac)), 8)
         return None if cap >= self.union_triangles else cap
 
     def _pack_full(self, states, p_pad):
         return jnp.concatenate(
-            [pack_constants(mesh, states[:, k, :7], p_pad)
+            [pack_constants(mesh, states[:, k, :7], p_pad,
+                            M=self._pack_M[k])
              for k, mesh in enumerate(self.meshes)], axis=0)
 
     def _pack_selected(self, states, p_pad, uniq):
@@ -564,13 +589,8 @@ class FusedSensor:
         """
         K = len(self.meshes)
         tcap = uniq.shape[0]
-        Ms = []
-        for k, mesh in enumerate(self.meshes):
-            Mk = pack_matrix(mesh)                        # (Tk, 10, 37)
-            block = jnp.zeros((Mk.shape[0], 10, 37 * K), jnp.float32)
-            Ms.append(block.at[:, :, 37 * k:37 * (k + 1)].set(Mk))
-        M_union = jnp.concatenate(Ms, axis=0)             # (Tu, 10, 37K)
-        M_sel = jnp.take(M_union, uniq, axis=0).reshape(tcap * 10, 37 * K)
+        M_sel = jnp.take(self._pack_M_union, uniq,
+                         axis=0).reshape(tcap * 10, 37 * K)
         F_all = jnp.concatenate(
             [pose_features(states[:, k, :7], p_pad)
              for k in range(K)], axis=0)                  # (37K, Pp)
@@ -598,95 +618,114 @@ class FusedSensor:
                                        nb=self.nb,
                                        interpret=self.interpret)
 
-        pcap = self._active_cap(N)
-        tcap = self._tri_cap()
-        if pcap is None and tcap is None:
+        # Resolve ladder levels to concrete static caps (tightest first).
+        caps = []
+        for pf, tf in self.levels:
+            pcap = self._active_cap(N, pf)
+            tcap = self._tri_cap(tf)
+            if pcap is None and tcap is None:
+                break          # this level IS the full kernel
+            caps.append((pcap, tcap))
+        if not caps:
             return full(occ_k)
 
-        ok = jnp.bool_(True)
-        if pcap is not None:
+        if any(p is not None for p, _ in caps):
             active = jnp.any(cand != deg, axis=1)
             n_active = jnp.sum(active)
             order = jnp.argsort(jnp.logical_not(active),
                                 stable=True).astype(jnp.int32)
-            sel = order[:pcap]                   # active pixels first
-            sel_mask = jnp.argsort(order) < pcap
-            ok = ok & (n_active <= pcap)
-        if tcap is not None:
-            flat = jnp.sort(cand.reshape(-1))
+            rank = jnp.argsort(order)
+        if any(t is not None for _, t in caps):
+            flat = jnp.sort(cand.reshape(-1)).astype(jnp.int32)
             is_new = jnp.concatenate(
                 [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
             n_uniq = jnp.sum(is_new)
             pos = jnp.cumsum(is_new) - 1
-            # duplicates scatter the same value to the same slot — safe
-            uniq = jnp.full((tcap,), deg, jnp.int32).at[
-                jnp.clip(pos, 0, tcap - 1)].set(flat.astype(jnp.int32))
-            ok = ok & (n_uniq < tcap)
 
-        def compact(occ_k):
+        # Unselected-pixel background loglik, same math as the kernel's
+        # off-silhouette branch (shared by every compact level).
+        bp = self.bp
+        inv_range = 1.0 / (bp.max_depth - bp.min_depth)
+        z_real = z_obs == z_obs
+        z_val = z_real & (z_obs >= bp.min_depth) & (z_obs <= bp.max_depth)
+        lik_bg = jnp.where(
+            z_real, jnp.where(z_val, inv_range, 0.0)
+            * (1.0 - bp.p_invalid_background),
+            bp.p_invalid_background)
+        ll_bg = jnp.log(jnp.maximum(lik_bg, _TINY))
+        log_pib = jnp.log(jnp.maximum(bp.p_invalid_background, _TINY))
+
+        def make_level(pcap, tcap):
+            if pcap is not None:
+                sel = order[:pcap]               # active pixels first
+                sel_mask = rank < pcap
             if tcap is not None:
-                gt = self._pack_selected(states, p_pad, uniq)
-                cand_use = jnp.clip(
-                    jnp.searchsorted(uniq, cand, side="left"),
-                    0, tcap - 1).astype(jnp.int32)
-            else:
-                gt = self._pack_full(states, p_pad)
-                cand_use = cand
-            if pcap is None:
-                return fused_loglik_packed(
-                    gt, occ_k, z_obs, cand_use, self.camera.rays,
+                # duplicates scatter the same value to a slot — safe
+                uniq = jnp.full((tcap,), deg, jnp.int32).at[
+                    jnp.clip(pos, 0, tcap - 1)].set(flat)
+            fits = jnp.bool_(True)
+            if pcap is not None:
+                fits = fits & (n_active <= pcap)
+            if tcap is not None:
+                fits = fits & (n_uniq < tcap)
+
+            def branch(occ_k):
+                if tcap is not None:
+                    gt = self._pack_selected(states, p_pad, uniq)
+                    cand_use = jnp.clip(
+                        jnp.searchsorted(uniq, cand, side="left"),
+                        0, tcap - 1).astype(jnp.int32)
+                else:
+                    gt = self._pack_full(states, p_pad)
+                    cand_use = cand
+                if pcap is None:
+                    return fused_loglik_packed(
+                        gt, occ_k, z_obs, cand_use, self.camera.rays,
+                        params_vec, P, nb=self.nb,
+                        interpret=self.interpret)
+
+                occ_view = occ_k.reshape(n_pad, p_pad)
+                occ_sel = jnp.take(occ_view, sel, axis=0)
+                n_pad_c = _round_up(pcap, self.nb)
+                ll, occ_post = fused_loglik_packed(
+                    gt, occ_sel.reshape(pcap * pr, 128), z_obs[sel],
+                    jnp.take(cand_use, sel, axis=0),
+                    jnp.take(self.camera.rays, sel, axis=0),
                     params_vec, P, nb=self.nb, interpret=self.interpret)
+                prop = occ_mod.propagate(occ_view, self.op,
+                                         dt * self.frame_rate)
+                out_view = prop.at[sel].set(occ_post.reshape(pcap, p_pad))
+                scalar = (jnp.sum(jnp.where(sel_mask, 0.0, ll_bg))
+                          + (n_pad - N) * log_pib
+                          - (n_pad_c - pcap) * log_pib)
+                return ll + scalar, out_view.reshape(n_pad * pr, 128)
 
-            occ_view = occ_k.reshape(n_pad, p_pad)
-            occ_sel = jnp.take(occ_view, sel, axis=0)
-            n_pad_c = _round_up(pcap, self.nb)
-            ll, occ_post = fused_loglik_packed(
-                gt, occ_sel.reshape(pcap * pr, 128), z_obs[sel],
-                jnp.take(cand_use, sel, axis=0),
-                jnp.take(self.camera.rays, sel, axis=0), params_vec, P,
-                nb=self.nb, interpret=self.interpret)
-            prop = occ_mod.propagate(occ_view, self.op,
-                                     dt * self.frame_rate)
-            out_view = prop.at[sel].set(occ_post.reshape(pcap, p_pad))
+            return fits, branch
 
-            # Unselected pixels: particle-independent background loglik,
-            # same math as the kernel's off-silhouette branch (+ padding
-            # corrections so full and compact outputs are identical).
-            bp = self.bp
-            inv_range = 1.0 / (bp.max_depth - bp.min_depth)
-            z_real = z_obs == z_obs
-            z_val = z_real & (z_obs >= bp.min_depth) \
-                & (z_obs <= bp.max_depth)
-            lik_bg = jnp.where(
-                z_real, jnp.where(z_val, inv_range, 0.0)
-                * (1.0 - bp.p_invalid_background),
-                bp.p_invalid_background)
-            ll_bg = jnp.log(jnp.maximum(lik_bg, _TINY))
-            log_pib = jnp.log(jnp.maximum(bp.p_invalid_background, _TINY))
-            scalar = (jnp.sum(jnp.where(sel_mask, 0.0, ll_bg))
-                      + (n_pad - N) * log_pib
-                      - (n_pad_c - pcap) * log_pib)
-            return ll + scalar, out_view.reshape(n_pad * pr, 128)
-
-        return jax.lax.cond(ok, compact, full, occ_k)
+        chain = full
+        for pcap, tcap in reversed(caps):
+            fits, branch = make_level(pcap, tcap)
+            chain = (lambda occ_k, fits=fits, branch=branch, nxt=chain:
+                     jax.lax.cond(fits, branch, nxt, occ_k))
+        return chain(occ_k)
 
 
 def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       frame_rate: float = 30.0, num_candidates: int = 2,
                       radius: int = 2, nb: int = 64,
                       interpret: bool = None,
-                      active_cap_frac: float = 0.5,
-                      tri_cap_frac: float = 0.75) -> FusedSensor:
+                      active_cap_frac: float = None,
+                      tri_cap_frac: float = None,
+                      levels=None) -> FusedSensor:
     """Fused sensor factory (the flagship large-particle config).
 
     Accepts one mesh or a list of per-object meshes (multi-object scenes
     share the kernel via the union triangle list — see FusedSensor).
     interpret defaults to True off-TPU so tests run on the CPU backend.
-    ``active_cap_frac``: static pixel budget for active-pixel compaction
-    (fraction of the frame; 1.0 disables it). ``tri_cap_frac``: static
-    budget for packing only candidate triangles (fraction of the union
-    triangle list; 1.0 disables it).
+    ``levels``: compaction ladder as (pixel_frac, triangle_frac) pairs,
+    tightest first (default ``[(1/12, 0.2), (0.5, 0.75)]``); the legacy
+    ``active_cap_frac``/``tri_cap_frac`` pair defines a single level.
     """
     return FusedSensor(meshes, camera, bp, op, frame_rate, num_candidates,
                        radius, nb, interpret, active_cap_frac,
-                       tri_cap_frac)
+                       tri_cap_frac, levels)

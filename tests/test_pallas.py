@@ -244,13 +244,25 @@ def test_active_pixel_compaction_exact():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(occ_tf), np.asarray(occ_full),
                                atol=1e-6)
+    # default two-level ladder (tight level + mid level + full fallback)
+    sensor_l = make_fused_sensor(mesh, cam, bp, op, interpret=True, nb=32)
+    assert len(sensor_l.levels) == 2
+    occ_k = occ_to_kernel(occ0[:64], nb=32)
+    ll_lad, occ_lad = sensor_l(states, occ_k, z_obs, dt)
+    d3 = np.asarray(ll_lad) - np.asarray(ll_full)
+    np.testing.assert_allclose(d3, d3.mean(), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ll_lad), np.asarray(ll_full),
+                               atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(sensor_l.occlusion_as_pn(occ_lad, 64)),
+        np.asarray(occ_full), atol=1e-5)
     # sanity: the scene really has active pixels between 64 and cap(0.5)
     sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True, nb=32,
                                active_cap_frac=0.5)
     cand = sensor.candidates(states)
     n_act = int(jnp.sum(jnp.any(cand != sensor.union_triangles - 1,
                                 axis=1)))
-    assert 64 < n_act <= sensor._active_cap(cam.num_pixels), n_act
+    assert 64 < n_act <= sensor._active_cap(cam.num_pixels, 0.5), n_act
 
 
 def test_fused_backend_tracking():
