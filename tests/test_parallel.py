@@ -5,6 +5,7 @@ shard_map step must track like the single-device filter and resample
 globally across shards.
 """
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -279,3 +280,40 @@ def test_island_resampling_exchanges_blocks():
     w = np.exp(np.asarray(b2.log_weights))
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-4)
     np.testing.assert_allclose(w, w[0], rtol=1e-4)
+
+
+def test_multi_scene_vmap_sharded():
+    """P7: independent scenes batch on a leading axis (vmap) and shard
+    across the mesh as pure data parallelism — the multi-host scaling
+    axis for batched serving (SURVEY.md §2.5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cam, mesh, tp, sensor = setup()
+    S, n_part = 8, 32
+    mesh_dev = dist_filter.make_particle_mesh(8, axis="b")
+    true_poses = jnp.stack([
+        jnp.concatenate([jnp.array([0.01 * s - 0.03, 0.0, 0.55 + 0.02 * s]),
+                         se3.quat_identity()]) for s in range(S)])
+    obs = jnp.stack([
+        jnp.where(jnp.isfinite(z), z, jnp.nan)
+        for z in [raycast_depth(mesh, true_poses[s], cam.rays, 128)
+                  for s in range(S)]])
+
+    beliefs = jax.vmap(
+        lambda k, p: rbcpf.init_belief(k, p, n_part, cam.num_pixels))(
+        jax.random.split(jax.random.PRNGKey(0), S), true_poses)
+    shard = NamedSharding(mesh_dev, P("b"))
+    beliefs = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, shard), beliefs)
+    obs = jax.device_put(obs, shard)
+
+    step = jax.jit(jax.vmap(functools.partial(
+        rbcpf.rbcpf_step, loglik_fn=sensor, trans_params=tp,
+        dt=1.0 / 30.0, max_kl_divergence=0.8)))
+    for t in range(5):
+        beliefs, infos = step(beliefs, obs)
+    err = np.linalg.norm(
+        np.asarray(infos.mean_state[:, 0, :3] - true_poses[:, :3]),
+        axis=-1)
+    assert (err < 0.01).all(), err
+    assert len(beliefs.states.sharding.device_set) == 8
