@@ -153,9 +153,14 @@ def pack_constants(mesh: TriangleMesh, poses, p_pad: int, features=None,
         features = pose_features(poses, p_pad)
     if M is None:
         M = pack_matrix(mesh)
-    # HIGH = 3-pass bf16 (~2^-21 relative) — micrometer-scale geometry
-    # error at 1 m.
-    packed = jnp.dot(M.reshape(T * 10, 37), features,
+    # The barrier forces both operands to materialize before the dot:
+    # producer fusions into dot operands measurably slowed the end-to-end
+    # step (caching M alone was worth 3.4 ms/step at the 10k north star);
+    # the barrier pins that behavior. HIGH = 3-pass bf16 (~2^-21
+    # relative) — micrometer geometry error at 1 m.
+    M, features = jax.lax.optimization_barrier(
+        (M.reshape(T * 10, 37), features))
+    packed = jnp.dot(M, features,
                      precision=jax.lax.Precision.HIGH)     # (10T, Pp)
     return packed.reshape(T, 10 * (p_pad // 128), 128)
 
@@ -594,6 +599,9 @@ class FusedSensor:
         F_all = jnp.concatenate(
             [pose_features(states[:, k, :7], p_pad)
              for k in range(K)], axis=0)                  # (37K, Pp)
+        # barrier: materialize the gathered/concatenated operands before
+        # the dot (see pack_constants)
+        M_sel, F_all = jax.lax.optimization_barrier((M_sel, F_all))
         packed = jnp.dot(M_sel, F_all,
                          precision=jax.lax.Precision.HIGH)
         return packed.reshape(tcap, 10 * (p_pad // 128), 128)
