@@ -449,7 +449,8 @@ class FusedSensor:
 
     def __init__(self, meshes, camera, bp, op, frame_rate=30.0,
                  num_candidates=2, radius=2, nb=64, interpret=None,
-                 active_cap_frac=None, tri_cap_frac=None, levels=None):
+                 active_cap_frac=None, tri_cap_frac=None, levels=None,
+                 lineage_gather="windowed"):
         self.meshes = ([meshes] if isinstance(meshes, TriangleMesh)
                        else list(meshes))
         self.camera = camera
@@ -481,6 +482,9 @@ class FusedSensor:
         self.nb = nb
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
+        if lineage_gather not in ("windowed", "take"):
+            raise ValueError(f"unknown lineage_gather: {lineage_gather!r}")
+        self.lineage_gather = lineage_gather
 
     def _pads(self, num_particles):
         p_pad = _round_up(num_particles, 128)
@@ -492,14 +496,31 @@ class FusedSensor:
         return jnp.full((n_pad * pr, 128), jnp.float32(initial_prob))
 
     def gather_occlusion(self, occ_k, parent_idx):
-        """Particle-lineage gather in kernel layout (resampling)."""
+        """Particle-lineage gather in kernel layout (resampling).
+
+        ``lineage_gather="windowed"`` routes through
+        :func:`ops.resample.windowed_lane_gather` — exploiting that
+        systematic-resampling parents are sorted, so each 128-lane output
+        block spans a narrow source window that one dynamic_slice + one
+        one-hot MXU matmul covers (occlusion probs are in [0, 1], so the
+        matmul path's finiteness precondition holds). Unsorted parents
+        (e.g. multinomial) fall back to the exact lane gather inside
+        windowed_lane_gather itself; ``lineage_gather="take"`` forces the
+        plain XLA lane gather everywhere.
+        """
+        from dbot_ros_tpu.ops import resample as rs
+
         p = parent_idx.shape[0]
         p_pad, n_pad, pr = self._pads(p)
         view = occ_k.reshape(n_pad, p_pad)
         idx_full = jnp.concatenate(
             [parent_idx.astype(jnp.int32),
              jnp.arange(p, p_pad, dtype=jnp.int32)])
-        return jnp.take(view, idx_full, axis=1).reshape(n_pad * pr, 128)
+        if self.lineage_gather == "windowed":
+            out = rs.windowed_lane_gather(view, idx_full)
+        else:
+            out = jnp.take(view, idx_full, axis=1)
+        return out.reshape(n_pad * pr, 128)
 
     def where_occlusion(self, particle_mask, a, b):
         """Per-particle select between two occlusion maps (kernel layout).
@@ -724,7 +745,8 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       interpret: bool = None,
                       active_cap_frac: float = None,
                       tri_cap_frac: float = None,
-                      levels=None) -> FusedSensor:
+                      levels=None,
+                      lineage_gather: str = "windowed") -> FusedSensor:
     """Fused sensor factory (the flagship large-particle config).
 
     Accepts one mesh or a list of per-object meshes (multi-object scenes
@@ -736,4 +758,4 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
     """
     return FusedSensor(meshes, camera, bp, op, frame_rate, num_candidates,
                        radius, nb, interpret, active_cap_frac,
-                       tri_cap_frac, levels)
+                       tri_cap_frac, levels, lineage_gather)

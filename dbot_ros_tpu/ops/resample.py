@@ -64,7 +64,7 @@ def multinomial_indices(key, log_w, num_samples: int):
         jnp.int32)
 
 
-def windowed_lane_gather(view, par, windows=(256, 1024)):
+def windowed_lane_gather(view, par, windows=(256, 1024), sanitize=False):
     """``out[:, j] = view[:, par[j]]`` — a lane-axis gather tuned for TPU.
 
     XLA lowers a gather along the minor (lane) axis of a large array to a
@@ -78,21 +78,37 @@ def windowed_lane_gather(view, par, windows=(256, 1024)):
       * per 128-lane output block, take one contiguous ``dynamic_slice``
         of ``W`` source lanes (a plain copy, HBM-bandwidth bound) and
         apply the block's permutation as a one-hot (W, 128) MXU matmul —
-        exact (one-hot operand; HIGHEST precision pinned so the f32
-        values pass through the MXU unrounded);
+        exact for finite values (one-hot operand; HIGHEST precision
+        pinned so the f32 values pass through the MXU unrounded);
       * a ladder of window sizes (like the fused kernel's compaction
         ladder): the smallest window whose span fits runs; pathological
         spans (e.g. multinomial/unsorted parents) fall back to the exact
         ``jnp.take``.
 
-    Replaces the lane gather in the fused sensor's occlusion lineage
-    gather (D13's persistent-array scatter/gather on resample).
+    Used by the fused sensor's occlusion lineage gather (D13's
+    persistent-array scatter/gather on resample) when its
+    ``lineage_gather="windowed"`` mode is selected.
+
+    **Finiteness precondition:** the one-hot matmul computes
+    ``Σ view·onehot``; any ``inf``/``NaN`` lane *inside the selected
+    window* turns ``x·0`` into ``NaN`` and poisons the whole 128-lane
+    output block. ``view`` must therefore be all-finite (occlusion
+    probabilities in [0, 1] are), or pass ``sanitize=True`` to zero
+    non-finite lanes before the matmul and restore them (as gathered by
+    an exact mask matmul) afterwards — do NOT use the raw fast path on
+    log-space arrays where ``-inf`` is routine.
 
     Args:
       view: (R, C) f32, C a multiple of 128 (particles on lanes).
-      par: (Co,) int32 parent lane ids in [0, C), Co a multiple of 128.
-        Fast iff sorted (or blockwise narrow); correct for any order.
+        Must be all-finite unless ``sanitize=True``.
+      par: (Co,) int32 parent lane ids, Co a multiple of 128. Fast iff
+        sorted (or blockwise narrow); correct for any order. Out-of-range
+        ids are clamped to [0, C) up front, so the fast path and the
+        fallback agree exactly (raw ``jnp.take`` under jit would instead
+        wrap negatives and NaN-fill past-the-end ids).
       windows: ascending ladder of window widths (multiples of 128).
+      sanitize: handle non-finite ``view`` values exactly (extra
+        mask matmuls; off on the hot path).
     Returns:
       (R, Co) gathered array.
     """
@@ -100,7 +116,23 @@ def windowed_lane_gather(view, par, windows=(256, 1024)):
     co = par.shape[0]
     if co % 128:
         raise ValueError(f"par length {co} not a multiple of 128")
-    par = par.astype(jnp.int32)
+    # Clamp once so the fast path and the jnp.take fallback agree on
+    # out-of-range parents (take clamps under jit; an unclamped one-hot
+    # column would silently produce zeros instead).
+    par = jnp.clip(par.astype(jnp.int32), 0, C - 1)
+    if sanitize:
+        finite = jnp.isfinite(view)
+        isnan = jnp.isnan(view)
+        safe = jnp.where(finite, view, 0.0)
+        sign = jnp.where(view > 0, 1.0, -1.0)
+        out = windowed_lane_gather(safe, par, windows)
+        nan_g = windowed_lane_gather(isnan.astype(view.dtype), par,
+                                     windows)
+        inf_g = windowed_lane_gather(
+            jnp.where(finite, 0.0, sign).astype(view.dtype), par, windows)
+        out = jnp.where(jnp.abs(inf_g) > 0.5,
+                        jnp.sign(inf_g) * jnp.inf, out)
+        return jnp.where(nan_g > 0.5, jnp.nan, out)
     pb = par.reshape(-1, 128)
     lo = jnp.min(pb, axis=1)
     span = jnp.max(jnp.max(pb, axis=1) - lo) + 1

@@ -59,6 +59,104 @@ def test_multinomial_counts():
     np.testing.assert_allclose(counts, np.asarray(w), atol=0.03)
 
 
+def _wlg_case(key, R, C, Co, kind):
+    """Build (view, par) for one windowed_lane_gather scenario."""
+    kv, kp = jax.random.split(jax.random.PRNGKey(key))
+    view = jax.random.normal(kv, (R, C), jnp.float32)
+    if kind == "sorted":
+        par = jnp.sort(jax.random.randint(kp, (Co,), 0, C))
+    elif kind == "unsorted":
+        par = jax.random.randint(kp, (Co,), 0, C)
+    elif kind == "duplicates":
+        par = jnp.sort(jax.random.randint(kp, (Co,), 0, 5))
+    elif kind == "systematic":
+        lw = jax.random.normal(kp, (C,))
+        par = rs.systematic_indices(kv, lw, Co)
+    elif kind == "span_eq_window":
+        # block 0 spans exactly w=256 source lanes
+        par = jnp.concatenate([
+            jnp.linspace(0, 255, 128).astype(jnp.int32),
+            jnp.sort(jax.random.randint(kp, (Co - 128,), 0, C)),
+        ])
+    elif kind == "span_over_windows":
+        # span > max window → jnp.take fallback branch
+        par = jnp.concatenate([
+            jnp.array([0, C - 1], jnp.int32),
+            jnp.sort(jax.random.randint(kp, (Co - 2,), 0, C)),
+        ])
+    elif kind == "end_clamp":
+        # lo near C so starts = C - w clamping branch is exercised
+        par = jnp.sort(jax.random.randint(kp, (Co,), C - 40, C))
+    else:
+        raise ValueError(kind)
+    return view, par.astype(jnp.int32)
+
+
+def test_windowed_lane_gather_matches_take():
+    import pytest
+    for kind in ("sorted", "unsorted", "duplicates", "systematic",
+                 "span_eq_window", "span_over_windows", "end_clamp"):
+        view, par = _wlg_case(hash(kind) % 1000, 16, 1024, 256, kind)
+        out = jax.jit(rs.windowed_lane_gather)(view, par)
+        ref = jnp.take(view, par, axis=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                      err_msg=kind)
+
+
+def test_windowed_lane_gather_out_of_range_clamps():
+    view = jnp.arange(2 * 256, dtype=jnp.float32).reshape(2, 256)
+    # Out-of-range ids are clamped up front on BOTH paths (documented;
+    # raw jnp.take under jit would wrap negatives / NaN-fill).
+    par = jnp.array([-5, 0, 255, 300] + [7] * 124, jnp.int32)
+    out = jax.jit(rs.windowed_lane_gather)(view, par)
+    ref = jnp.take(view, jnp.clip(par, 0, 255), axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_windowed_lane_gather_sanitize_nonfinite():
+    view = jnp.zeros((2, 256), jnp.float32)
+    view = view.at[:, 3].set(jnp.nan).at[:, 7].set(jnp.inf)
+    view = view.at[:, 11].set(-jnp.inf).at[:, 20].set(2.5)
+    par = jnp.sort(jnp.concatenate(
+        [jnp.array([3, 7, 11, 20], jnp.int32),
+         jnp.arange(124, dtype=jnp.int32) % 256]))
+    out = jax.jit(lambda v, p: rs.windowed_lane_gather(v, p,
+                                                       sanitize=True))(
+        view, par)
+    ref = jnp.take(view, par, axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # Without sanitize, the matmul fast path poisons the block (this is
+    # the documented finiteness precondition — assert it stays documented
+    # by asserting the behavior).
+    raw = jax.jit(rs.windowed_lane_gather)(view, par)
+    assert bool(jnp.any(jnp.isnan(raw)))
+
+
+def test_fused_sensor_gather_occlusion_windowed_matches_take():
+    from dbot_ros_tpu.models import beam, occlusion
+    from dbot_ros_tpu.ops import raycast_pallas as rp
+    from dbot_ros_tpu.utils.camera import default_kinect_camera
+    from dbot_ros_tpu.utils.mesh import icosphere_mesh
+
+    cam = default_kinect_camera(40)
+    mesh = icosphere_mesh(radius=0.06, subdivisions=1)
+    bp = beam.make_beam_params()
+    op = occlusion.make_occlusion_params()
+    kw = dict(interpret=True)
+    s_win = rp.make_fused_sensor(mesh, cam, bp, op,
+                                 lineage_gather="windowed", **kw)
+    s_take = rp.make_fused_sensor(mesh, cam, bp, op,
+                                  lineage_gather="take", **kw)
+    P = 200
+    occ = jax.random.uniform(jax.random.PRNGKey(0),
+                             s_win.init_occlusion(P, 0.1).shape)
+    lw = jax.random.normal(jax.random.PRNGKey(1), (P,))
+    parents = rs.systematic_indices(jax.random.PRNGKey(2), lw, P)
+    np.testing.assert_array_equal(
+        np.asarray(s_win.gather_occlusion(occ, parents)),
+        np.asarray(s_take.gather_occlusion(occ, parents)))
+
+
 def test_resample_pytree_gathers_all_leaves():
     tree = {"a": jnp.arange(6.0), "b": jnp.arange(12.0).reshape(6, 2)}
     idx = jnp.array([5, 0, 0, 3], jnp.int32)
