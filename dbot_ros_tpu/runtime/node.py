@@ -74,14 +74,19 @@ def run(tracker, source, initial_pose=None,
     frames = iter(source)
     first = next(frames)
 
-    if initial_pose is None:
-        if first.ground_truth is None:
-            raise ValueError("no initial pose and source has no ground truth")
-        initial_pose = first.ground_truth
-    try:
-        tracker.initialize(initial_pose, first_frame=first.depth)
-    except TypeError:
-        tracker.initialize(initial_pose)
+    already_initialized = (initial_pose is None
+                           and getattr(tracker, "belief", None) is not None)
+    if not already_initialized:
+        if initial_pose is None:
+            if first.ground_truth is None:
+                raise ValueError(
+                    "no initial pose, tracker not initialized, and source "
+                    "has no ground truth")
+            initial_pose = first.ground_truth
+        try:
+            tracker.initialize(initial_pose, first_frame=first.depth)
+        except TypeError:
+            tracker.initialize(initial_pose)
 
     poses_out: List[np.ndarray] = []
     gt_out: List[np.ndarray] = []
