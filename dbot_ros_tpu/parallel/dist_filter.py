@@ -116,7 +116,8 @@ def _global_log_normalizers(log_w, axis):
 def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
                           trans_params: TransitionParams, dt: float,
                           max_kl_divergence: float = 1.0,
-                          axis: str = "p", exchange: str = "ring"):
+                          axis: str = "p", exchange: str = "neighbor",
+                          max_hops: int = 1):
     """Build a jitted multi-chip RBC-PF step (single object per scene).
 
     Returns step(belief_sharded, z_obs) → (belief_sharded, mean_state,
@@ -126,10 +127,21 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
     ``exchange`` picks how resampling fetches parent occlusion maps across
     shards (the O(P·N_pix) movement — SURVEY.md hard part #2):
 
-      * ``"ring"`` (default): S-step ppermute ring — each shard streams
-        every block past exactly once and plucks the rows its offspring
-        need. Same total ICI traffic as an all_gather but **peak memory
-        O(2 local blocks)** instead of O(S) — the occlusion map never
+      * ``"neighbor"`` (default): bounded-hop exchange exploiting that
+        systematic-resampling parents are globally *sorted* — shard s's
+        offspring rows [sL, (s+1)L) draw parents from one contiguous
+        index range, which for non-degenerate weights lies within
+        ``max_hops`` shards of s. Each of the 2H+1 hops is one
+        ``ppermute`` of the local block; total ICI traffic is (2H+1)
+        blocks instead of the ring's S blocks — resampling cost stops
+        growing with the mesh. The needed hop count is computed
+        globally (pmax — uniform across shards) and frames whose
+        parents reach further fall back to the full ring, so the
+        result is exact for any weights.
+      * ``"ring"``: S-step ppermute ring — each shard streams every
+        block past exactly once and plucks the rows its offspring need.
+        Same total ICI traffic as an all_gather but **peak memory O(2
+        local blocks)** instead of O(S) — the occlusion map never
         materializes unsharded, so particle counts can scale with the
         mesh. Block-regular, bisection-friendly traffic.
       * ``"all_gather"``: gather the full map then take (simplest;
@@ -141,7 +153,7 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
     ``gather_occlusion``/``where_occlusion``).
     """
     occ_gather, occ_where = _occ_hooks(loglik_fn)
-    if exchange not in ("ring", "all_gather"):
+    if exchange not in ("neighbor", "ring", "all_gather"):
         raise ValueError(f"unknown exchange mode: {exchange!r}")
 
     def step_local(states, log_w, occ, key, z_obs):
@@ -181,29 +193,60 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
             st_all = jax.lax.all_gather(states, axis, tiled=True)
             new_states = jnp.take(st_all, parents, axis=0)
 
-            if exchange == "all_gather":
-                occ_all = jax.lax.all_gather(occ, axis, tiled=True)
-                new_occ = jnp.take(occ_all, parents, axis=0)
-            else:
-                # Ring: at round r shard `idx` holds shard (idx+r)%S's
-                # block; it copies the rows of parents owned by that
-                # shard, then passes the block along the ring.
+            def pluck(out, blk, src):
+                """Copy rows of `parents` owned by shard `src` from blk."""
+                local_idx = jnp.clip(parents - src * p_local, 0,
+                                     p_local - 1)
+                mask = ((parents >= src * p_local)
+                        & (parents < (src + 1) * p_local))
+                return occ_where(mask, occ_gather(blk, local_idx), out)
+
+            def full_ring(occ):
+                # At round r shard `idx` holds shard (idx+r)%S's block;
+                # it copies the rows of parents owned by that shard, then
+                # passes the block along the ring.
                 ring = [(i, (i - 1) % n_shards) for i in range(n_shards)]
 
                 def round_body(r, carry):
                     held, out = carry
-                    src = (idx + r) % n_shards
-                    local_idx = jnp.clip(parents - src * p_local, 0,
-                                         p_local - 1)
-                    mask = ((parents >= src * p_local)
-                            & (parents < (src + 1) * p_local))
-                    out = occ_where(mask, occ_gather(held, local_idx),
-                                    out)
+                    out = pluck(out, held, (idx + r) % n_shards)
                     held = jax.lax.ppermute(held, axis, ring)
                     return held, out
 
                 _, new_occ = jax.lax.fori_loop(
                     0, n_shards, round_body, (occ, jnp.zeros_like(occ)))
+                return new_occ
+
+            if exchange == "all_gather":
+                occ_all = jax.lax.all_gather(occ, axis, tiled=True)
+                new_occ = jnp.take(occ_all, parents, axis=0)
+            elif exchange == "ring" or n_shards <= 2 * max_hops + 1:
+                new_occ = full_ring(occ)
+            else:
+                # Neighbor: parents are sorted, so this shard needs rows
+                # from owner shards within [d_min, d_max] hops of itself.
+                # The hop span is reduced globally (uniform predicate) so
+                # every shard takes the same branch; overflow frames run
+                # the exact full ring.
+                owner = parents // p_local
+                d = owner - idx
+                span = jax.lax.pmax(
+                    jnp.maximum(jnp.max(d), -jnp.min(d)), axis)
+
+                def neighbor(occ):
+                    out = jnp.zeros_like(occ)
+                    out = pluck(out, occ, idx)
+                    for h in range(1, max_hops + 1):
+                        for s in (h, -h):
+                            # blk on shard i = shard (i+s) mod S's block
+                            perm = [((i + s) % n_shards, i)
+                                    for i in range(n_shards)]
+                            blk = jax.lax.ppermute(occ, axis, perm)
+                            out = pluck(out, blk, (idx + s) % n_shards)
+                    return out
+
+                new_occ = jax.lax.cond(span <= max_hops, neighbor,
+                                       full_ring, occ)
 
             return (new_states, jnp.zeros_like(log_w), new_occ)
 

@@ -144,20 +144,68 @@ def test_ring_exchange_matches_all_gather():
         return dist_filter.shard_belief(b, mesh_dev)
 
     outs = {}
-    for mode in ("ring", "all_gather"):
+    for mode in ("ring", "all_gather", "neighbor"):
         step = dist_filter.make_distributed_step(
             mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.01,
             exchange=mode)
         b2, mean_state, ess = step(make_belief(), z)
         outs[mode] = (b2, mean_state)
-    np.testing.assert_allclose(np.asarray(outs["ring"][0].occlusion),
-                               np.asarray(outs["all_gather"][0].occlusion),
+    for mode in ("ring", "neighbor"):
+        np.testing.assert_allclose(
+            np.asarray(outs[mode][0].occlusion),
+            np.asarray(outs["all_gather"][0].occlusion), atol=1e-6,
+            err_msg=mode)
+        np.testing.assert_allclose(
+            np.asarray(outs[mode][0].states),
+            np.asarray(outs["all_gather"][0].states), atol=1e-6,
+            err_msg=mode)
+        np.testing.assert_allclose(np.asarray(outs[mode][1]),
+                                   np.asarray(outs["all_gather"][1]),
+                                   atol=1e-6, err_msg=mode)
+
+
+@pytest.mark.parametrize("skew", ["mild", "degenerate"])
+def test_neighbor_exchange_matches_all_gather(skew):
+    """Bounded-hop exchange: mild weight skew stays on the 2H+1-ppermute
+    fast path (parents within ±1 shard); degenerate weights exceed
+    max_hops and must fall back to the exact full ring. Both must equal
+    the all_gather resampler bit-for-bit (same key → same parents)."""
+    cam, mesh, tp, sensor = setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+
+    if skew == "mild":
+        lw = 0.4 * jnp.sin(jnp.arange(64.0))   # resamples, span <= 1 shard
+    else:
+        lw = jnp.full((64,), -500.0).at[40].set(0.0)  # span = 5 shards
+
+    def make_belief():
+        b = rbcpf.init_belief(jax.random.PRNGKey(11), pose0, 64,
+                              cam.num_pixels)
+        occ = jnp.linspace(0.05, 0.9, 64)[:, None] * jnp.ones(
+            (64, cam.num_pixels))
+        b = rbcpf.ParticleBelief(states=b.states, log_weights=lw,
+                                 occlusion=occ, key=b.key)
+        return dist_filter.shard_belief(b, mesh_dev)
+
+    outs = {}
+    for mode in ("neighbor", "all_gather"):
+        step = dist_filter.make_distributed_step(
+            mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.01,
+            exchange=mode, max_hops=1)
+        b2, mean_state, ess = step(make_belief(), z)
+        outs[mode] = b2
+    assert bool(outs["all_gather"].log_weights.sum() == 0.0), \
+        "test must actually resample"
+    np.testing.assert_allclose(np.asarray(outs["neighbor"].occlusion),
+                               np.asarray(outs["all_gather"].occlusion),
                                atol=1e-6)
-    np.testing.assert_allclose(np.asarray(outs["ring"][0].states),
-                               np.asarray(outs["all_gather"][0].states),
+    np.testing.assert_allclose(np.asarray(outs["neighbor"].states),
+                               np.asarray(outs["all_gather"].states),
                                atol=1e-6)
-    np.testing.assert_allclose(np.asarray(outs["ring"][1]),
-                               np.asarray(outs["all_gather"][1]), atol=1e-6)
 
 
 def _fused_setup(n_particles=64):
