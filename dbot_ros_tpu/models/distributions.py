@@ -97,6 +97,17 @@ def exponential_sample(key, rate, shape=()):
     return jax.random.exponential(key, shape, jnp.float32) / rate
 
 
+def cauchy_logpdf(x, loc=0.0, scale=1.0):
+    """Cauchy log-density (ref: fl heavy-tail option for the body-tail
+    observation model, F1/F6)."""
+    z = (x - loc) / scale
+    return -jnp.log(jnp.pi * scale * (1.0 + z * z))
+
+
+def cauchy_sample(key, loc=0.0, scale=1.0, shape=()):
+    return loc + scale * jax.random.cauchy(key, shape, jnp.float32)
+
+
 # ------------------------------------------ discrete / particle beliefs
 
 def discrete_entropy(log_w):

@@ -82,3 +82,23 @@ def test_monte_carlo_transform_linear_function():
                                np.asarray(A @ cov @ A.T), atol=0.03)
     np.testing.assert_allclose(np.asarray(cxy), np.asarray(cov @ A.T),
                                atol=0.03)
+
+
+def test_cauchy_logpdf_and_sample():
+    from dbot_ros_tpu.models.distributions import (cauchy_logpdf,
+                                                   cauchy_sample)
+    # standard Cauchy density at 0 is 1/pi; at 1 it's 1/(2*pi)
+    np.testing.assert_allclose(np.exp(cauchy_logpdf(0.0)), 1.0 / np.pi,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.exp(cauchy_logpdf(1.0)), 1.0 / (2 * np.pi),
+                               rtol=1e-6)
+    # loc/scale: density integrates to ~1 on a wide grid
+    xs = jnp.linspace(-400.0, 400.0, 200001)
+    dens = jnp.exp(cauchy_logpdf(xs, loc=2.0, scale=0.5))
+    assert 0.98 < float(jnp.trapezoid(dens, xs)) < 1.001
+    # sampler: median ≈ loc, IQR ≈ 2*scale (moments don't exist)
+    s = cauchy_sample(jax.random.PRNGKey(0), loc=2.0, scale=0.5,
+                      shape=(20000,))
+    q25, q50, q75 = np.percentile(np.asarray(s), [25, 50, 75])
+    np.testing.assert_allclose(q50, 2.0, atol=0.05)
+    np.testing.assert_allclose(q75 - q25, 1.0, atol=0.08)
