@@ -95,6 +95,9 @@ def init_belief(key, initial_poses, num_particles: int, num_pixels: int,
     )
 
 
+_NEVER_RESAMPLE_KL = 1e8
+
+
 def _maybe_resample(key, log_w, states, occ, old_loglik, max_kl,
                     occ_gather):
     """KL-triggered systematic resampling of (states, occ, old_loglik).
@@ -103,22 +106,27 @@ def _maybe_resample(key, log_w, states, occ, old_loglik, max_kl,
     default particle-axis take, or a sensor-provided device-layout gather
     (the reference's CUDA scatter/gather of persistent occlusion arrays,
     D13, reduced to one hook).
+
+    The trigger is NOT a ``lax.cond``: branching over the occlusion map
+    costs ~4.3 ms/step at the 10k-particle north star (measured v5e —
+    conditional outputs aliasing donated operands force full-map copies),
+    ~10x the gather itself (0.39 ms, HBM-roofline). Instead the parent
+    vector is ``where``-selected between systematic parents and identity,
+    and the gather runs unconditionally — a flat ~0.4 ms every frame
+    instead of ~4.3 ms on resample frames. Statically-disabled resampling
+    (``max_kl >= 1e8``) skips all of it at trace time.
     """
     kl = rs.kl_to_uniform(log_w)
+    if max_kl >= _NEVER_RESAMPLE_KL:
+        return (states, occ, old_loglik), log_w, jnp.bool_(False), kl
     p = log_w.shape[-1]
-
-    def do_resample(_):
-        idx = rs.systematic_indices(key, log_w, p)
-        return ((jnp.take(states, idx, axis=0), occ_gather(occ, idx),
-                 jnp.take(old_loglik, idx, axis=0)),
-                jnp.zeros_like(log_w), jnp.bool_(True))
-
-    def no_resample(_):
-        return (states, occ, old_loglik), log_w, jnp.bool_(False)
-
-    tree, log_w2, did = jax.lax.cond(kl > max_kl, do_resample, no_resample,
-                                     None)
-    return tree, log_w2, did, kl
+    do = kl > max_kl
+    idx = jnp.where(do, rs.systematic_indices(key, log_w, p),
+                    jnp.arange(p, dtype=jnp.int32))
+    tree = (jnp.take(states, idx, axis=0), occ_gather(occ, idx),
+            jnp.take(old_loglik, idx, axis=0))
+    log_w2 = jnp.where(do, jnp.zeros_like(log_w), log_w)
+    return tree, log_w2, do, kl
 
 
 def rbcpf_step(belief: ParticleBelief, z_obs, loglik_fn: Callable,

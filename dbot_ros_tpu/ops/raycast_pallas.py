@@ -450,7 +450,7 @@ class FusedSensor:
     def __init__(self, meshes, camera, bp, op, frame_rate=30.0,
                  num_candidates=2, radius=2, nb=64, interpret=None,
                  active_cap_frac=None, tri_cap_frac=None, levels=None,
-                 lineage_gather="windowed"):
+                 lineage_gather="take"):
         self.meshes = ([meshes] if isinstance(meshes, TriangleMesh)
                        else list(meshes))
         self.camera = camera
@@ -498,15 +498,16 @@ class FusedSensor:
     def gather_occlusion(self, occ_k, parent_idx):
         """Particle-lineage gather in kernel layout (resampling).
 
-        ``lineage_gather="windowed"`` routes through
-        :func:`ops.resample.windowed_lane_gather` — exploiting that
-        systematic-resampling parents are sorted, so each 128-lane output
-        block spans a narrow source window that one dynamic_slice + one
-        one-hot MXU matmul covers (occlusion probs are in [0, 1], so the
-        matmul path's finiteness precondition holds). Unsorted parents
-        (e.g. multinomial) fall back to the exact lane gather inside
-        windowed_lane_gather itself; ``lineage_gather="take"`` forces the
-        plain XLA lane gather everywhere.
+        ``lineage_gather="take"`` (default) is the plain XLA lane
+        gather — measured at the HBM roofline (0.39 ms for the 194 MB
+        map at the 10k north star on v5e; the 4.5 ms once attributed to
+        this gather was actually lax.cond buffer copies, fixed in
+        filters/rbcpf._maybe_resample). ``"windowed"`` routes through
+        :func:`ops.resample.windowed_lane_gather` (sorted systematic
+        parents → aligned slab + one-hot MXU matmul per 128-lane block;
+        exact, finiteness precondition satisfied by [0, 1] occlusion
+        probs) — measured at parity with take end-to-end, kept as an
+        option for layouts where the XLA gather regresses.
         """
         from dbot_ros_tpu.ops import resample as rs
 
@@ -746,7 +747,7 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       active_cap_frac: float = None,
                       tri_cap_frac: float = None,
                       levels=None,
-                      lineage_gather: str = "windowed") -> FusedSensor:
+                      lineage_gather: str = "take") -> FusedSensor:
     """Fused sensor factory (the flagship large-particle config).
 
     Accepts one mesh or a list of per-object meshes (multi-object scenes

@@ -135,13 +135,37 @@ def windowed_lane_gather(view, par, windows=(256, 1024), sanitize=False):
         return jnp.where(nan_g > 0.5, jnp.nan, out)
     pb = par.reshape(-1, 128)
     lo = jnp.min(pb, axis=1)
-    span = jnp.max(jnp.max(pb, axis=1) - lo) + 1
+    hi = jnp.max(pb, axis=1)
+    # All window starts are rounded DOWN to a lane-tile (128) boundary:
+    # an unaligned lane-axis dynamic_slice forces per-row lane rotations
+    # (measured ~6x off the copy roofline on v5e); aligned slices are
+    # plain tile copies. A window w therefore covers a block iff the
+    # block's parents fit in [align(lo), align(lo) + w).
+    lo_al = (lo // 128) * 128
+    span_al = jnp.max(hi - lo_al) + 1          # per-block, aligned
+    g0 = (jnp.min(lo) // 128) * 128
+    span_glob = jnp.max(hi) - g0 + 1           # one window for ALL blocks
 
     def fallback(_):
         return jnp.take(view, par, axis=1)
 
+    def make_global(w):
+        """One aligned slab + one (w, Co) one-hot MXU dot for the whole
+        map — the degenerate/low-ESS regime (all parents in one narrow
+        range), where per-block slabs would re-read the same lanes."""
+        start = jnp.minimum(g0, C - w)
+        iw = jnp.arange(w, dtype=jnp.int32)
+
+        def glob(_):
+            slab = jax.lax.dynamic_slice(view, (0, start), (R, w))
+            onehot = (iw[:, None] == (par - start)[None, :]).astype(
+                view.dtype)
+            return jax.lax.dot(slab, onehot,
+                               precision=jax.lax.Precision.HIGHEST)
+        return glob
+
     def make_fast(w):
-        starts = jnp.minimum(lo, C - w)
+        starts = jnp.minimum(lo_al, C - w)
         iw = jnp.arange(w, dtype=jnp.int32)
 
         def fast(_):
@@ -163,9 +187,14 @@ def windowed_lane_gather(view, par, windows=(256, 1024), sanitize=False):
     branch = fallback
     for w in sorted({int(x) for x in windows if x <= C}, reverse=True):
         branch = functools.partial(
-            lambda w, nxt, _: jax.lax.cond(span <= w, make_fast(w), nxt,
-                                           None),
+            lambda w, nxt, _: jax.lax.cond(span_al <= w, make_fast(w),
+                                           nxt, None),
             w, branch)
+    wg = min(int(windows[-1]), C)
+    branch = functools.partial(
+        lambda w, nxt, _: jax.lax.cond(span_glob <= w, make_global(w),
+                                       nxt, None),
+        wg, branch)
     return branch(None)
 
 

@@ -87,6 +87,14 @@ def _wlg_case(key, R, C, Co, kind):
     elif kind == "end_clamp":
         # lo near C so starts = C - w clamping branch is exercised
         par = jnp.sort(jax.random.randint(kp, (Co,), C - 40, C))
+    elif kind == "global_end":
+        # narrow global range at the very end: global-window path with
+        # start clamped to C - w
+        par = jnp.full((Co,), C - 1, jnp.int32).at[0].set(C - 130)
+    elif kind == "global_mid":
+        # all parents inside one 300-lane range mid-array (global path,
+        # unaligned lo)
+        par = jnp.sort(jax.random.randint(kp, (Co,), 333, 633))
     else:
         raise ValueError(kind)
     return view, par.astype(jnp.int32)
@@ -95,7 +103,8 @@ def _wlg_case(key, R, C, Co, kind):
 def test_windowed_lane_gather_matches_take():
     import pytest
     for kind in ("sorted", "unsorted", "duplicates", "systematic",
-                 "span_eq_window", "span_over_windows", "end_clamp"):
+                 "span_eq_window", "span_over_windows", "end_clamp",
+                 "global_end", "global_mid"):
         view, par = _wlg_case(hash(kind) % 1000, 16, 1024, 256, kind)
         out = jax.jit(rs.windowed_lane_gather)(view, par)
         ref = jnp.take(view, par, axis=1)
