@@ -32,6 +32,19 @@ z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
 sensor = make_rb_sensor(mesh, cam, bp, op, backend="pallas",
                         lineage_gather="take")
 
+# sensor-only capture (the bench.py headline path)
+occ = sensor.init_occlusion(P, 0.1)
+states = jnp.zeros((P, 1, 13), jnp.float32).at[:, 0, :7].set(ref)
+sense = jax.jit(lambda s, o, z: sensor(s, o, z, 1.0 / 30.0))
+ll, occ2 = sense(states, occ, z_obs)
+jax.block_until_ready(ll)
+with jax.profiler.trace("/tmp/jax-trace-sensor"):
+    o = occ
+    for _ in range(5):
+        ll, o = sense(states, o, z_obs)
+    jax.block_until_ready(ll)
+print("sensor: trace written", flush=True)
+
 for max_kl, tag in [(1e9, "never"), (-1.0, "always")]:
     belief = rbcpf.init_belief(jax.random.PRNGKey(0), ref, P,
                                cam.num_pixels, sensor=sensor)

@@ -264,8 +264,12 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
         lin = jax.lax.psum(jnp.einsum("p,pkd->kd", w, states), axis)
         q = states[..., 0, 3:7]
         A = jax.lax.psum(jnp.einsum("p,pi,pj->ij", w, q, q), axis)
-        _, vecs = jnp.linalg.eigh(A)
-        qm = se3.quat_normalize(vecs[:, -1])
+        # principal eigenvector by power iteration (see se3.states_mean —
+        # eigh on a 4x4 is disproportionately slow under jit on TPU)
+        qm = A[:, 0] / jnp.maximum(jnp.linalg.norm(A[:, 0]), 1e-12)
+        for _ in range(12):
+            qm = A @ qm
+            qm = qm / jnp.maximum(jnp.linalg.norm(qm), 1e-20)
         qm = qm * jnp.where(qm[0] < 0, -1.0, 1.0)
         mean_state = jnp.concatenate(
             [lin[0, :3], qm, lin[0, 7:13]], axis=-1)
