@@ -57,10 +57,10 @@ def summarize(trace, top_n=30):
 
     print("== tracks (us) ==")
     for t, d in tracks.most_common(12):
-        print(f"{d:12d}  {t}")
+        print(f"{d:12.0f}  {t}")
     print(f"\n== top {top_n} ops by total us ==")
     for name, d in total.most_common(top_n):
-        print(f"{d:10d} us  x{count[name]:<5d} {name[:120]}")
+        print(f"{d:10.0f} us  x{count[name]:<5d} {name[:120]}")
 
 
 if __name__ == "__main__":

@@ -169,9 +169,9 @@ def pack_constants(mesh: TriangleMesh, poses, p_pad: int, features=None,
 # The kernel
 # ---------------------------------------------------------------------------
 
-def _fused_kernel(cand_ref, z_ref, rays_ref, params_ref, occ_ref, gt_ref,
-                  occ_out_ref, ll_ref, slab, sems, *, nb: int, pr: int,
-                  K: int):
+def _fused_kernel(cand_ref, z_ref, rays_ref, ages_ref, params_ref, occ_ref,
+                  gt_ref, occ_out_ref, ll_ref, slab, sems, *, nb: int,
+                  pr: int, K: int):
     n_blk = pl.program_id(0)
 
     @pl.when(n_blk == 0)
@@ -189,8 +189,10 @@ def _fused_kernel(cand_ref, z_ref, rays_ref, params_ref, occ_ref, gt_ref,
     p_inv_vis = params_ref[0, 7]
     p_inv_bg = params_ref[0, 8]
     occ_pi = params_ref[0, 9]
-    occ_gdt = params_ref[0, 10]
     inv_range = params_ref[0, 11]
+    occ_lg = params_ref[0, 12]    # log|g| of the occlusion chain
+    occ_dtf = params_ref[0, 13]   # this call's dt in frame units
+    occ_sgn = params_ref[0, 14]   # sign(g); lazy ages require g >= 0
 
     def dma(j, buf, k):
         tid = cand_ref[j, k]
@@ -243,9 +245,15 @@ def _fused_kernel(cand_ref, z_ref, rays_ref, params_ref, occ_ref, gt_ref,
         on_sil = t < _BIG * 0.5
         d = jnp.where(on_sil, t, 1.0)
 
-        # --- occlusion prior propagation (models/occlusion.py)
+        # --- occlusion prior propagation (models/occlusion.py), lazily
+        # aged: the stored map may be `age` frames stale (pixels the
+        # compaction ladder skipped aren't rewritten — SURVEY hard part
+        # #3 without any full-map traffic); the chain is propagated by
+        # (age + dt) in one closed-form step, exactly equal to the
+        # eager per-frame recursion for g in [0, 1].
         occ = occ_ref[pl.ds(j * pr, pr), :]
-        q = jnp.clip(occ_pi + occ_gdt * (occ - occ_pi), 0.0, 1.0)
+        geff = occ_sgn * jnp.exp(occ_lg * (ages_ref[j, 0] + occ_dtf))
+        q = jnp.clip(occ_pi + geff * (occ - occ_pi), 0.0, 1.0)
 
         # --- beam densities (models/beam.py, truncation normalizer ≈ 1)
         sig = msig + sfac * d * d
@@ -317,7 +325,7 @@ def occ_from_kernel(occ_k, num_pixels: int, num_particles: int,
 
 def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
                         num_particles: int, nb: int = 64,
-                        interpret: bool = False):
+                        interpret: bool = False, ages=None):
     """Run the fused kernel on pre-packed constant slabs.
 
     Args:
@@ -327,6 +335,8 @@ def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
       z_obs: (N,); cand: (N, K) int32 global triangle ids with misses
         already mapped to a degenerate row; rays: (N, 3).
       params_vec: (16,) f32 (see make_fused_sensor).
+      ages: optional (N,) f32 per-pixel staleness of occ_k in frame
+        units (lazy aging — see FusedSensor); None = all fresh.
     Returns (loglik (P,), occ_post in kernel layout).
     """
     P = num_particles
@@ -348,6 +358,11 @@ def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
     rays_in = jnp.pad(rays, ((0, n_pad - N), (0, 1)))     # (Npad, 4)
     cand_in = jnp.pad(cand, ((0, n_pad - N), (0, 0)),
                       constant_values=gt.shape[0] - 1)
+    if ages is None:
+        ages_in = jnp.zeros((n_pad, 1), jnp.float32)
+    else:
+        ages_in = jnp.pad(ages.astype(jnp.float32),
+                          (0, n_pad - N))[:, None]        # (Npad, 1)
     params_in = params_vec.reshape(1, -1)
 
     grid = (n_pad // nb,)
@@ -362,6 +377,8 @@ def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
                          memory_space=pltpu.SMEM),        # z
             pl.BlockSpec((nb, 4), lambda n: (n, 0),
                          memory_space=pltpu.SMEM),        # rays
+            pl.BlockSpec((nb, 1), lambda n: (n, 0),
+                         memory_space=pltpu.SMEM),        # ages
             pl.BlockSpec((1, 16), lambda n: (0, 0),
                          memory_space=pltpu.SMEM),        # params
             pl.BlockSpec((nb * pr, 128), lambda n: (n, 0),
@@ -383,7 +400,7 @@ def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
             pltpu.SemaphoreType.DMA((2, K)),
         ],
         interpret=interpret,
-    )(cand_in, z_in, rays_in, params_in, occ_k, gt)
+    )(cand_in, z_in, rays_in, ages_in, params_in, occ_k, gt)
 
     loglik = ll.reshape(p_pad)[:P]
     return loglik, occ_out
@@ -403,16 +420,25 @@ def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
 
 
 def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
-    """Pack model parameters + propagated-chain coefficients into (16,)."""
+    """Pack model parameters + propagated-chain coefficients into (16,).
+
+    The kernel propagates the occlusion chain as
+    ``sign(g) * exp(log|g| * (age + dt_frames))`` — for ``age = 0`` this
+    equals the classic one-step ``sign(g)*|g|^dt``; nonzero lazy ages
+    require g >= 0 (sign would alternate per step; FusedSensor only
+    enables lazy aging for g >= 0, the physical regime).
+    """
     g = op.p_occluded_occluded - op.p_occluded_visible
     pi = op.p_occluded_visible / jnp.maximum(1.0 - g, 1e-12)
     gdt = jnp.sign(g) * jnp.power(jnp.abs(g), dt_frames)
+    lg = jnp.log(jnp.maximum(jnp.abs(g), 1e-30))
     return jnp.stack([
         bp.model_sigma, bp.sigma_factor, bp.tail_weight, bp.min_depth,
         bp.max_depth, bp.exponential_rate, bp.p_invalid_occluded,
         bp.p_invalid_visible, bp.p_invalid_background, pi, gdt,
         1.0 / (bp.max_depth - bp.min_depth),
-        jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+        lg, jnp.asarray(dt_frames, jnp.float32), jnp.sign(g),
+        jnp.float32(0),
     ]).astype(jnp.float32)
 
 
@@ -485,6 +511,12 @@ class FusedSensor:
         if lineage_gather not in ("windowed", "take"):
             raise ValueError(f"unknown lineage_gather: {lineage_gather!r}")
         self.lineage_gather = lineage_gather
+        # Lazy per-pixel occlusion aging (the occlusion leaf becomes a
+        # (q, age) tuple; see __call__). Requires g >= 0 so the closed
+        # form g^k keeps its sign — true for any physical occlusion
+        # chain (p_occluded_occluded >= p_occluded_visible).
+        self._lazy = float(op.p_occluded_occluded
+                           - op.p_occluded_visible) >= 0.0
 
     def _pads(self, num_particles):
         p_pad = _round_up(num_particles, 128)
@@ -492,8 +524,26 @@ class FusedSensor:
         return p_pad, n_pad, p_pad // 128
 
     def init_occlusion(self, num_particles, initial_prob):
+        """Fresh occlusion leaf: lazy (q, age) tuple (or raw q for g<0).
+
+        ``q`` is the kernel-layout map; ``age`` (n_pad,) f32 counts the
+        frame-units elapsed since each PIXEL's row of q was last written
+        by the kernel. Pixels skipped by the compaction ladder are never
+        rewritten — their closed-form prior propagation happens inside
+        the kernel when they next become active (and in occlusion_as_pn
+        for diagnostics), so the common path never touches the full map.
+        """
         p_pad, n_pad, pr = self._pads(num_particles)
-        return jnp.full((n_pad * pr, 128), jnp.float32(initial_prob))
+        q = jnp.full((n_pad * pr, 128), jnp.float32(initial_prob))
+        if not self._lazy:
+            return q
+        return (q, jnp.zeros((n_pad,), jnp.float32))
+
+    @staticmethod
+    def _unpack_occ(occ):
+        if isinstance(occ, (tuple, list)):
+            return occ[0], occ[1]
+        return occ, None
 
     def gather_occlusion(self, occ_k, parent_idx):
         """Particle-lineage gather in kernel layout (resampling).
@@ -511,6 +561,7 @@ class FusedSensor:
         """
         from dbot_ros_tpu.ops import resample as rs
 
+        occ_k, age = self._unpack_occ(occ_k)
         p = parent_idx.shape[0]
         p_pad, n_pad, pr = self._pads(p)
         view = occ_k.reshape(n_pad, p_pad)
@@ -521,7 +572,9 @@ class FusedSensor:
             out = rs.windowed_lane_gather(view, idx_full)
         else:
             out = jnp.take(view, idx_full, axis=1)
-        return out.reshape(n_pad * pr, 128)
+        out = out.reshape(n_pad * pr, 128)
+        # age is per-pixel (particle-independent) → lineage-invariant
+        return out if age is None else (out, age)
 
     def where_occlusion(self, particle_mask, a, b):
         """Per-particle select between two occlusion maps (kernel layout).
@@ -529,17 +582,32 @@ class FusedSensor:
         Used by the distributed ring-exchange resampler: ``mask`` is
         (P,) bool over particles; lanes of padded particles take ``b``.
         """
+        a, age_a = self._unpack_occ(a)
+        b, _ = self._unpack_occ(b)
         p = particle_mask.shape[0]
         p_pad, n_pad, pr = self._pads(p)
         m = jnp.concatenate(
             [particle_mask, jnp.zeros((p_pad - p,), particle_mask.dtype)])
         mk = jnp.broadcast_to(m[None, :], (n_pad, p_pad))
-        return jnp.where(mk.reshape(n_pad * pr, 128), a, b)
+        out = jnp.where(mk.reshape(n_pad * pr, 128), a, b)
+        # ages are identical across shards (selection is replicated)
+        return out if age_a is None else (out, age_a)
 
     def occlusion_as_pn(self, occ_k, num_particles):
-        """Diagnostic view of the occlusion state as (P, N)."""
-        return occ_from_kernel(occ_k, self.camera.num_pixels,
-                               num_particles, self.nb)
+        """Diagnostic view of the occlusion state as (P, N), materialized
+        to 'now' (lazy ages applied via the closed-form propagation)."""
+        occ_k, age = self._unpack_occ(occ_k)
+        q = occ_from_kernel(occ_k, self.camera.num_pixels,
+                            num_particles, self.nb)
+        if age is None:
+            return q
+        g = self.op.p_occluded_occluded - self.op.p_occluded_visible
+        pi = self.op.p_occluded_visible / jnp.maximum(1.0 - g, 1e-12)
+        geff = jnp.exp(jnp.log(jnp.maximum(g, 1e-30))
+                       * age[:self.camera.num_pixels])        # g >= 0
+        q_now = pi + geff[None, :] * (q - pi)
+        return jnp.clip(jnp.where(geff[None, :] == 1.0, q, q_now),
+                        0.0, 1.0)
 
     @property
     def union_triangles(self) -> int:
@@ -629,24 +697,42 @@ class FusedSensor:
         return packed.reshape(tcap, 10 * (p_pad // 128), 128)
 
     def __call__(self, states, occ_k, z_obs, dt):
+        """Sensor call. The occlusion leaf ``occ_k`` is either the lazy
+        (q, age) tuple produced by :meth:`init_occlusion` (g >= 0), or a
+        raw kernel-layout array (legacy/eager semantics: every pixel's
+        occlusion is propagated and rewritten each frame). With lazy
+        aging the compaction ladder's common path touches ONLY the
+        selected pixels' rows — no full-map propagate/merge/relayout
+        (which cost ~2.1 ms/frame of the 4.4 ms sensor at the 10k north
+        star, traced v5e).
+        """
         from dbot_ros_tpu.models import occlusion as occ_mod
 
         P = states.shape[0]
         p_pad = _round_up(P, 128)
         pr = p_pad // 128
         cand = self.candidates(states)
-        params_vec = make_params_vec(self.bp, self.op,
-                                     dt * self.frame_rate)
+        dtf = dt * self.frame_rate
+        params_vec = make_params_vec(self.bp, self.op, dtf)
         N = z_obs.shape[0]
         n_pad = _round_up(N, self.nb)
         deg = self.union_triangles - 1
+        lazy = isinstance(occ_k, (tuple, list))
+        if lazy and not self._lazy:
+            raise ValueError(
+                "lazy (q, age) occlusion leaf requires "
+                "p_occluded_occluded >= p_occluded_visible")
 
-        def full(occ_k):
-            return fused_loglik_packed(self._pack_full(states, p_pad),
-                                       occ_k, z_obs, cand,
-                                       self.camera.rays, params_vec, P,
-                                       nb=self.nb,
-                                       interpret=self.interpret)
+        def full(occ):
+            q, age = self._unpack_occ(occ)
+            ll, q_post = fused_loglik_packed(
+                self._pack_full(states, p_pad), q, z_obs, cand,
+                self.camera.rays, params_vec, P, nb=self.nb,
+                interpret=self.interpret,
+                ages=None if age is None else age[:N])
+            if not lazy:
+                return ll, q_post
+            return ll, (q_post, jnp.zeros_like(age))
 
         # Resolve ladder levels to concrete static caps (tightest first).
         caps = []
@@ -699,35 +785,65 @@ class FusedSensor:
             if tcap is not None:
                 fits = fits & (n_uniq < tcap)
 
-            def branch(occ_k):
+            if tcap is not None:
+                # Slot lookup as a scatter-built inverse map + gather:
+                # searchsorted(uniq, cand) lowers to a while-loop binary
+                # search costing 1.8 ms/frame at the north star (traced
+                # v5e) vs ~10 us for the gather. Every id in `cand`
+                # occurs in `flat` (= sorted cand), so inv covers all
+                # lookups; duplicate scatters write identical values.
+                inv = jnp.zeros((self.union_triangles,), jnp.int32).at[
+                    flat].set(jnp.clip(pos, 0, tcap - 1).astype(jnp.int32))
+
+            def branch(occ):
+                q_k, age = self._unpack_occ(occ)
                 if tcap is not None:
                     gt = self._pack_selected(states, p_pad, uniq)
-                    cand_use = jnp.clip(
-                        jnp.searchsorted(uniq, cand, side="left"),
-                        0, tcap - 1).astype(jnp.int32)
+                    cand_use = jnp.take(inv, cand, axis=0)
                 else:
                     gt = self._pack_full(states, p_pad)
                     cand_use = cand
                 if pcap is None:
-                    return fused_loglik_packed(
-                        gt, occ_k, z_obs, cand_use, self.camera.rays,
+                    ll, q_post = fused_loglik_packed(
+                        gt, q_k, z_obs, cand_use, self.camera.rays,
                         params_vec, P, nb=self.nb,
-                        interpret=self.interpret)
+                        interpret=self.interpret,
+                        ages=None if age is None else age[:N])
+                    if not lazy:
+                        return ll, q_post
+                    return ll, (q_post, jnp.zeros_like(age))
 
-                occ_view = occ_k.reshape(n_pad, p_pad)
-                occ_sel = jnp.take(occ_view, sel, axis=0)
                 n_pad_c = _round_up(pcap, self.nb)
+                scalar = (jnp.sum(jnp.where(sel_mask, 0.0, ll_bg))
+                          + (n_pad - N) * log_pib
+                          - (n_pad_c - pcap) * log_pib)
+                if lazy:
+                    # Row-gather ONLY the selected pixels' q rows (the
+                    # kernel layout keeps a pixel's particle tile in pr
+                    # consecutive rows); unselected pixels just age.
+                    rows = (sel[:, None] * pr
+                            + jnp.arange(pr, dtype=jnp.int32)[None, :]
+                            ).reshape(-1)
+                    occ_sel = jnp.take(q_k, rows, axis=0)
+                    ll, occ_post = fused_loglik_packed(
+                        gt, occ_sel, z_obs[sel],
+                        jnp.take(cand_use, sel, axis=0),
+                        jnp.take(self.camera.rays, sel, axis=0),
+                        params_vec, P, nb=self.nb,
+                        interpret=self.interpret, ages=age[sel])
+                    q_out = q_k.at[rows].set(occ_post)
+                    age_out = (age + dtf).at[sel].set(0.0)
+                    return ll + scalar, (q_out, age_out)
+
+                occ_view = q_k.reshape(n_pad, p_pad)
+                occ_sel = jnp.take(occ_view, sel, axis=0)
                 ll, occ_post = fused_loglik_packed(
                     gt, occ_sel.reshape(pcap * pr, 128), z_obs[sel],
                     jnp.take(cand_use, sel, axis=0),
                     jnp.take(self.camera.rays, sel, axis=0),
                     params_vec, P, nb=self.nb, interpret=self.interpret)
-                prop = occ_mod.propagate(occ_view, self.op,
-                                         dt * self.frame_rate)
+                prop = occ_mod.propagate(occ_view, self.op, dtf)
                 out_view = prop.at[sel].set(occ_post.reshape(pcap, p_pad))
-                scalar = (jnp.sum(jnp.where(sel_mask, 0.0, ll_bg))
-                          + (n_pad - N) * log_pib
-                          - (n_pad_c - pcap) * log_pib)
                 return ll + scalar, out_view.reshape(n_pad * pr, 128)
 
             return fits, branch

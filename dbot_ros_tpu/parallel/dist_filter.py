@@ -78,7 +78,11 @@ def init_distributed_belief(key, initial_poses, num_particles: int,
     if sensor is not None and hasattr(sensor, "init_occlusion"):
         local = sensor.init_occlusion(num_particles // n_shards,
                                       initial_occlusion_prob)
-        occ = jnp.concatenate([local] * n_shards, axis=0)
+        # the occlusion leaf may be a pytree (e.g. the fused sensor's
+        # lazy (q, age) tuple) — stack every leaf shard-wise so the
+        # particle-axis sharding splits it back into the local blocks
+        occ = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x] * n_shards, axis=0), local)
         belief = ParticleBelief(states=belief.states,
                                 log_weights=belief.log_weights,
                                 occlusion=occ, key=belief.key)
@@ -213,8 +217,9 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
                     held = jax.lax.ppermute(held, axis, ring)
                     return held, out
 
+                zero = jax.tree_util.tree_map(jnp.zeros_like, occ)
                 _, new_occ = jax.lax.fori_loop(
-                    0, n_shards, round_body, (occ, jnp.zeros_like(occ)))
+                    0, n_shards, round_body, (occ, zero))
                 return new_occ
 
             if exchange == "all_gather":
@@ -234,7 +239,7 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
                     jnp.maximum(jnp.max(d), -jnp.min(d)), axis)
 
                 def neighbor(occ):
-                    out = jnp.zeros_like(occ)
+                    out = jax.tree_util.tree_map(jnp.zeros_like, occ)
                     out = pluck(out, occ, idx)
                     for h in range(1, max_hops + 1):
                         for s in (h, -h):
@@ -402,9 +407,12 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
             src = jnp.clip(jnp.searchsorted(cdf, pos, side="left"),
                            0, n_islands - 1)
             st_all = jax.lax.all_gather(states, axis)          # (S, L, ...)
-            occ_all = jax.lax.all_gather(occ, axis)
+            # occ may be a pytree (lazy (q, age) tuple) — gather/index
+            # each leaf
+            occ_sel = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, axis)[src], occ)
             ln_all = jax.lax.all_gather(ln_local, axis)
-            return (st_all[src], occ_all[src], ln_all[src],
+            return (st_all[src], occ_sel, ln_all[src],
                     -jnp.log(jnp.float32(n_islands)))
 
         def no_island_resample(args):

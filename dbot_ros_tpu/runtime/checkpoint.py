@@ -27,8 +27,17 @@ def save_belief(path: str, belief) -> None:
         kind = "gaussian"
     else:
         raise TypeError(f"unknown belief type {type(belief)!r}")
-    arrays = {f.name: np.asarray(getattr(belief, f.name))
-              for f in dataclasses.fields(belief)}
+    arrays = {}
+    for f in dataclasses.fields(belief):
+        v = getattr(belief, f.name)
+        leaves = jax.tree_util.tree_leaves(v)
+        if len(leaves) == 1 and not isinstance(v, (tuple, list)):
+            arrays[f.name] = np.asarray(v)
+        else:
+            # multi-leaf field (e.g. the fused sensor's lazy (q, age)
+            # occlusion tuple) → one entry per leaf
+            for i, leaf in enumerate(leaves):
+                arrays[f"{f.name}__{i}"] = np.asarray(leaf)
     np.savez(path, __kind__=np.array(kind), **arrays)
 
 
@@ -39,10 +48,18 @@ def load_belief(path: str):
     import jax.numpy as jnp
     kwargs = {}
     for f in dataclasses.fields(cls):
-        arr = jnp.asarray(data[f.name])
-        if f.name == "key":
-            # PRNG keys round-trip as raw uint32 key data.
-            arr = jax.random.wrap_key_data(arr.astype(jnp.uint32)) \
-                if arr.dtype != jnp.uint32 else arr
-        kwargs[f.name] = arr
+        if f.name in data:
+            arr = jnp.asarray(data[f.name])
+            if f.name == "key":
+                # PRNG keys round-trip as raw uint32 key data.
+                arr = jax.random.wrap_key_data(arr.astype(jnp.uint32)) \
+                    if arr.dtype != jnp.uint32 else arr
+            kwargs[f.name] = arr
+        else:
+            leaves = []
+            while f"{f.name}__{len(leaves)}" in data:
+                leaves.append(jnp.asarray(data[f"{f.name}__{len(leaves)}"]))
+            if not leaves:
+                raise KeyError(f"checkpoint missing field {f.name!r}")
+            kwargs[f.name] = tuple(leaves)
     return cls(**kwargs)

@@ -79,9 +79,15 @@ def test_fused_sensor_contract():
     occ_k = sensor.init_occlusion(64, 0.1)
     ll, occ_post = sensor(states, occ_k, z_obs, 1.0 / 30.0)
     assert ll.shape == (64,)
-    assert occ_post.shape == occ_k.shape
+    # opaque leaf: same pytree structure/shapes in and out
+    assert (jax.tree_util.tree_structure(occ_post)
+            == jax.tree_util.tree_structure(occ_k))
+    for a, b in zip(jax.tree_util.tree_leaves(occ_post),
+                    jax.tree_util.tree_leaves(occ_k)):
+        assert a.shape == b.shape
     assert bool(jnp.all(jnp.isfinite(ll)))
-    assert bool(jnp.all((occ_post >= 0) & (occ_post <= 1)))
+    q_leaf = jax.tree_util.tree_leaves(occ_post)[0]
+    assert bool(jnp.all((q_leaf >= 0) & (q_leaf <= 1)))
     # lineage gather hook: all-parent-5 must replicate particle 5's map
     occ_pn = sensor.occlusion_as_pn(occ_post, 64)
     idx = jnp.full((64,), 5, jnp.int32)
@@ -263,6 +269,49 @@ def test_active_pixel_compaction_exact():
     n_act = int(jnp.sum(jnp.any(cand != sensor.union_triangles - 1,
                                 axis=1)))
     assert 64 < n_act <= sensor._active_cap(cam.num_pixels, 0.5), n_act
+
+
+def test_lazy_occlusion_matches_eager():
+    """The lazy (q, age) occlusion leaf must reproduce the eager raw-array
+    semantics exactly over several frames, including pixels that enter
+    and leave the compacted active set (silhouette moves)."""
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=64)
+    sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True, nb=32)
+    assert sensor._lazy
+    dt = 1.0 / 30.0
+    occ_lazy = sensor.init_occlusion(64, 0.1)
+    occ_raw = occ_lazy[0]  # same initial q, eager semantics
+    for t in range(4):
+        # drift the particles so the silhouette (and active set) moves
+        states = jnp.zeros((64, 1, 13)).at[:, 0, :7].set(poses[:64])
+        states = states.at[:, 0, 0].add(0.01 * t)
+        ll_l, occ_lazy = sensor(states, occ_lazy, z_obs, dt)
+        ll_r, occ_raw = sensor(states, occ_raw, z_obs, dt)
+        np.testing.assert_allclose(np.asarray(ll_l), np.asarray(ll_r),
+                                   rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(sensor.occlusion_as_pn(occ_lazy, 64)),
+            np.asarray(sensor.occlusion_as_pn(occ_raw, 64)), atol=1e-5)
+    assert bool(jnp.any(occ_lazy[1] > 0)), \
+        "some pixels should have aged (test must exercise laziness)"
+
+
+def test_lazy_occlusion_checkpoint_roundtrip(tmp_path):
+    from dbot_ros_tpu.filters import rbcpf
+    from dbot_ros_tpu.runtime.checkpoint import load_belief, save_belief
+
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=64)
+    sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True, nb=32)
+    belief = rbcpf.init_belief(jax.random.PRNGKey(0), ref, 64,
+                               cam.num_pixels, sensor=sensor)
+    assert isinstance(belief.occlusion, tuple)
+    path = str(tmp_path / "belief.npz")
+    save_belief(path, belief)
+    restored = load_belief(path)
+    assert isinstance(restored.occlusion, tuple)
+    for a, b in zip(jax.tree_util.tree_leaves(belief.occlusion),
+                    jax.tree_util.tree_leaves(restored.occlusion)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fused_backend_tracking():

@@ -234,7 +234,8 @@ def test_distributed_fused_pallas_sensor(make_step):
     b = dist_filter.init_distributed_belief(
         jax.random.PRNGKey(4), pose0, 64, mesh_dev,
         num_pixels=cam.num_pixels, sensor=sensor)
-    assert b.occlusion.shape[0] % 8 == 0
+    occ_q = jax.tree_util.tree_leaves(b.occlusion)[0]
+    assert occ_q.shape[0] % 8 == 0
     if make_step == "ring":
         step = dist_filter.make_distributed_step(
             mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.5,
@@ -252,7 +253,7 @@ def test_distributed_fused_pallas_sensor(make_step):
     assert float(ess) > 1.0
     assert len(b.states.sharding.device_set) == 8
     # occlusion stayed in the kernel layout (opaque leaf, right shape)
-    assert b.occlusion.shape[1] == 128
+    assert jax.tree_util.tree_leaves(b.occlusion)[0].shape[1] == 128
 
 
 def test_scaling_harness_mechanics():

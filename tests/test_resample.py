@@ -157,8 +157,8 @@ def test_fused_sensor_gather_occlusion_windowed_matches_take():
     s_take = rp.make_fused_sensor(mesh, cam, bp, op,
                                   lineage_gather="take", **kw)
     P = 200
-    occ = jax.random.uniform(jax.random.PRNGKey(0),
-                             s_win.init_occlusion(P, 0.1).shape)
+    q0 = jax.tree_util.tree_leaves(s_win.init_occlusion(P, 0.1))[0]
+    occ = jax.random.uniform(jax.random.PRNGKey(0), q0.shape)
     lw = jax.random.normal(jax.random.PRNGKey(1), (P,))
     parents = rs.systematic_indices(jax.random.PRNGKey(2), lw, P)
     np.testing.assert_array_equal(
