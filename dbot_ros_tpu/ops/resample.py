@@ -42,18 +42,46 @@ def kl_to_uniform(log_w):
         jnp.float32(n))
 
 
+def sorted_searchsorted_left(cdf, pos):
+    """``searchsorted(cdf, pos, side='left')`` for an ascending ``pos``.
+
+    ``jnp.searchsorted`` lowers to a while-loop binary search that costs
+    ~1.9 ms for 10k elements on TPU v5e (fixed per-iteration sync
+    overhead; traced in the filter step). When the queries are sorted
+    too — systematic-resampling thresholds are — one lexicographic sort
+    of the merged sequence + a cumsum gives every rank at once on the
+    VPU (~50 us). Ties: pos sorts before an equal cdf entry, so the
+    exclusive count of cdf elements equals side='left'.
+    """
+    n = cdf.shape[0]
+    m = pos.shape[0]
+    vals = jnp.concatenate([cdf, pos])
+    # tag 0 = pos (sorts first on equal value → strict '<' count), 1 = cdf
+    tags = jnp.concatenate([jnp.ones((n,), jnp.int32),
+                            jnp.zeros((m,), jnp.int32)])
+    src = jnp.concatenate([jnp.full((n,), m, jnp.int32),
+                           jnp.arange(m, dtype=jnp.int32)])
+    vals_s, tags_s, src_s = jax.lax.sort((vals, tags, src), num_keys=2)
+    cdf_before = jnp.cumsum(tags_s) - tags_s        # exclusive count
+    out = jnp.zeros((m + 1,), jnp.int32).at[src_s].set(
+        cdf_before.astype(jnp.int32))
+    return out[:m]
+
+
 def systematic_indices(key, log_w, num_samples: int):
     """Systematic (low-variance) resampling → parent indices [num_samples].
 
-    One uniform u; thresholds (i + u)/M against the weight CDF. O(N log N)
-    via searchsorted; deterministic given the key; preserves particle order
-    (parents come out sorted), which keeps downstream gathers coalesced.
+    One uniform u; thresholds (i + u)/M against the weight CDF, ranked by
+    one merged sort (sorted_searchsorted_left — the queries are ascending
+    by construction); deterministic given the key; preserves particle
+    order (parents come out sorted), which keeps downstream gathers
+    coalesced.
     """
     ln, _ = normalize_log_weights(log_w)
     cdf = jnp.cumsum(jnp.exp(ln), axis=-1)
     u = jax.random.uniform(key, ())
     pos = (jnp.arange(num_samples, dtype=jnp.float32) + u) / num_samples
-    idx = jnp.searchsorted(cdf, pos, side="left")
+    idx = sorted_searchsorted_left(cdf, pos)
     return jnp.clip(idx, 0, log_w.shape[-1] - 1).astype(jnp.int32)
 
 

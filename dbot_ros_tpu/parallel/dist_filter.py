@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dbot_ros_tpu.filters.rbcpf import ParticleBelief
 from dbot_ros_tpu.models.transition import TransitionParams, sample_transition
+from dbot_ros_tpu.ops import resample as rs
 from dbot_ros_tpu.utils import se3
 
 
@@ -191,7 +192,9 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
             total = w_all.shape[0]
             pos = (jnp.arange(p_local, dtype=jnp.float32)
                    + idx * p_local + u) / total
-            parents = jnp.clip(jnp.searchsorted(cdf, pos, side="left"),
+            # pos is ascending -> rank by one merged sort instead of
+            # the while-loop binary search (see resample.py notes)
+            parents = jnp.clip(rs.sorted_searchsorted_left(cdf, pos),
                                0, total - 1)
             # Parent states: tiny, always all_gather.
             st_all = jax.lax.all_gather(states, axis, tiled=True)
@@ -372,11 +375,11 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
         def local_resample(args):
             states, occ, ln_local = args
             parents = jnp.clip(
-                jnp.searchsorted(
+                rs.sorted_searchsorted_left(
                     jnp.cumsum(jnp.exp(ln_local)),
                     (jnp.arange(p_local, dtype=jnp.float32)
-                     + jax.random.uniform(k_res, ())) / p_local,
-                    side="left"), 0, p_local - 1)
+                     + jax.random.uniform(k_res, ())) / p_local),
+                0, p_local - 1)
             return (jnp.take(states, parents, axis=0),
                     occ_gather(occ, parents),
                     jnp.full((p_local,), -jnp.log(jnp.float32(p_local))))

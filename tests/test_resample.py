@@ -173,3 +173,19 @@ def test_resample_pytree_gathers_all_leaves():
     np.testing.assert_array_equal(out["a"], [5, 0, 0, 3])
     np.testing.assert_array_equal(out["b"][0], [10, 11])
     assert out["b"].shape == (4, 2)
+
+
+def test_sorted_searchsorted_left_matches_jnp():
+    for seed in range(5):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        cdf = jnp.sort(jax.random.uniform(k1, (137,)))
+        pos = jnp.sort(jax.random.uniform(k2, (211,)))
+        ref = jnp.searchsorted(cdf, pos, side="left")
+        out = rs.sorted_searchsorted_left(cdf, pos)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # exact ties must follow side='left'
+    cdf = jnp.array([0.1, 0.2, 0.2, 0.5, 1.0])
+    pos = jnp.array([0.0, 0.1, 0.2, 0.35, 0.5, 1.0])
+    np.testing.assert_array_equal(
+        np.asarray(rs.sorted_searchsorted_left(cdf, pos)),
+        np.asarray(jnp.searchsorted(cdf, pos, side="left")))
