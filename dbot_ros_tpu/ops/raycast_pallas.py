@@ -831,8 +831,20 @@ class FusedSensor:
                         jnp.take(self.camera.rays, sel, axis=0),
                         params_vec, P, nb=self.nb,
                         interpret=self.interpret, ages=age[sel])
-                    q_out = q_k.at[rows].set(occ_post)
-                    age_out = (age + dtf).at[sel].set(0.0)
+                    # Merge back WITHOUT a row scatter (.at[rows].set is
+                    # an XLA scatter: 2.75 ms/frame traced on v5e) — as
+                    # an inverse row gather + fused select, one clean
+                    # full-map write:
+                    slot = jnp.zeros((n_pad,), jnp.int32).at[sel].set(
+                        jnp.arange(pcap, dtype=jnp.int32))
+                    selm = jnp.zeros((n_pad,), bool).at[sel].set(True)
+                    src_rows = (slot[:, None] * pr
+                                + jnp.arange(pr, dtype=jnp.int32)[None, :]
+                                ).reshape(-1)
+                    vals = jnp.take(occ_post, src_rows, axis=0)
+                    mrows = jnp.repeat(selm, pr)[:, None]
+                    q_out = jnp.where(mrows, vals, q_k)
+                    age_out = jnp.where(selm, 0.0, age + dtf)
                     return ll + scalar, (q_out, age_out)
 
                 occ_view = q_k.reshape(n_pad, p_pad)
