@@ -123,8 +123,11 @@ def _maybe_resample(key, log_w, states, occ, old_loglik, max_kl,
     do = kl > max_kl
     idx = jnp.where(do, rs.systematic_indices(key, log_w, p),
                     jnp.arange(p, dtype=jnp.int32))
-    tree = (jnp.take(states, idx, axis=0), occ_gather(occ, idx),
-            jnp.take(old_loglik, idx, axis=0))
+    # mode='clip': idx is in-bounds by construction; the default fill
+    # mode emits a full-size bounds-guard select (0.6 ms on the map)
+    tree = (jnp.take(states, idx, axis=0, mode="clip"),
+            occ_gather(occ, idx),
+            jnp.take(old_loglik, idx, axis=0, mode="clip"))
     log_w2 = jnp.where(do, jnp.zeros_like(log_w), log_w)
     return tree, log_w2, do, kl
 
@@ -140,7 +143,7 @@ def rbcpf_step(belief: ParticleBelief, z_obs, loglik_fn: Callable,
     """
     num_objects = belief.num_objects
     occ_gather = getattr(loglik_fn, "gather_occlusion", None) or (
-        lambda occ, idx: jnp.take(occ, idx, axis=0))
+        lambda occ, idx: jnp.take(occ, idx, axis=0, mode="clip"))
     key, k_res_base, *block_keys = jax.random.split(
         belief.key, 2 + num_objects)
 

@@ -571,7 +571,7 @@ class FusedSensor:
         if self.lineage_gather == "windowed":
             out = rs.windowed_lane_gather(view, idx_full)
         else:
-            out = jnp.take(view, idx_full, axis=1)
+            out = jnp.take(view, idx_full, axis=1, mode="clip")
         out = out.reshape(n_pad * pr, 128)
         # age is per-pixel (particle-independent) → lineage-invariant
         return out if age is None else (out, age)
@@ -799,7 +799,7 @@ class FusedSensor:
                 q_k, age = self._unpack_occ(occ)
                 if tcap is not None:
                     gt = self._pack_selected(states, p_pad, uniq)
-                    cand_use = jnp.take(inv, cand, axis=0)
+                    cand_use = jnp.take(inv, cand, axis=0, mode="clip")
                 else:
                     gt = self._pack_full(states, p_pad)
                     cand_use = cand
@@ -824,7 +824,7 @@ class FusedSensor:
                     rows = (sel[:, None] * pr
                             + jnp.arange(pr, dtype=jnp.int32)[None, :]
                             ).reshape(-1)
-                    occ_sel = jnp.take(q_k, rows, axis=0)
+                    occ_sel = jnp.take(q_k, rows, axis=0, mode="clip")
                     ll, occ_post = fused_loglik_packed(
                         gt, occ_sel, z_obs[sel],
                         jnp.take(cand_use, sel, axis=0),
@@ -841,14 +841,14 @@ class FusedSensor:
                     src_rows = (slot[:, None] * pr
                                 + jnp.arange(pr, dtype=jnp.int32)[None, :]
                                 ).reshape(-1)
-                    vals = jnp.take(occ_post, src_rows, axis=0)
+                    vals = jnp.take(occ_post, src_rows, axis=0, mode="clip")
                     mrows = jnp.repeat(selm, pr)[:, None]
                     q_out = jnp.where(mrows, vals, q_k)
                     age_out = jnp.where(selm, 0.0, age + dtf)
                     return ll + scalar, (q_out, age_out)
 
                 occ_view = q_k.reshape(n_pad, p_pad)
-                occ_sel = jnp.take(occ_view, sel, axis=0)
+                occ_sel = jnp.take(occ_view, sel, axis=0, mode="clip")
                 ll, occ_post = fused_loglik_packed(
                     gt, occ_sel.reshape(pcap * pr, 128), z_obs[sel],
                     jnp.take(cand_use, sel, axis=0),

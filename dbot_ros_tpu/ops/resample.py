@@ -175,7 +175,7 @@ def windowed_lane_gather(view, par, windows=(256, 1024), sanitize=False):
     span_glob = jnp.max(hi) - g0 + 1           # one window for ALL blocks
 
     def fallback(_):
-        return jnp.take(view, par, axis=1)
+        return jnp.take(view, par, axis=1, mode="clip")
 
     def make_global(w):
         """One aligned slab + one (w, Co) one-hot MXU dot for the whole
