@@ -745,18 +745,29 @@ class FusedSensor:
         if not caps:
             return full(occ_k)
 
+        # Compaction bookkeeping, sort- and scatter-free: TPU sorts are
+        # O(log²)-pass lane shuffles and scatters serialize — both were
+        # multi-hundred-µs items in the per-frame trace. The selection is
+        # instead expressed as cumsum ranks + blocked-rank searchsorted
+        # (ops/resample.sorted_searchsorted_left) over the (ascending)
+        # cumsums — dense VPU work only.
+        from dbot_ros_tpu.ops import resample as _rs
         if any(p is not None for p, _ in caps):
             active = jnp.any(cand != deg, axis=1)
-            n_active = jnp.sum(active)
-            order = jnp.argsort(jnp.logical_not(active),
-                                stable=True).astype(jnp.int32)
-            rank = jnp.argsort(order)
+            af = active.astype(jnp.float32)
+            ca = jnp.cumsum(af)                  # (N,) 1-based active rank
+            ci = jnp.cumsum(1.0 - af)            # (N,) 1-based inactive rank
+            n_active = ca[-1]
+            # selection rank of every pixel: actives first (in index
+            # order), then inactives — the old stable argsort's rank
+            slot_dense = jnp.where(active, ca - 1.0,
+                                   n_active + ci - 1.0).astype(jnp.int32)
         if any(t is not None for _, t in caps):
-            flat = jnp.sort(cand.reshape(-1)).astype(jnp.int32)
-            is_new = jnp.concatenate(
-                [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
-            n_uniq = jnp.sum(is_new)
-            pos = jnp.cumsum(is_new) - 1
+            tid = jnp.arange(self.union_triangles, dtype=jnp.int32)
+            pres = jnp.any(cand.reshape(1, -1) == tid[:, None], axis=1)
+            cp = jnp.cumsum(pres.astype(jnp.float32))  # (T,) ascending
+            n_uniq = cp[-1]
+            inv_dense = cp.astype(jnp.int32) - 1   # slot of present ids
 
         # Unselected-pixel background loglik, same math as the kernel's
         # off-silhouette branch (shared by every compact level).
@@ -773,12 +784,23 @@ class FusedSensor:
 
         def make_level(pcap, tcap):
             if pcap is not None:
-                sel = order[:pcap]               # active pixels first
-                sel_mask = rank < pcap
+                # sel[j] = the j-th selected pixel: the (j+1)-th active
+                # pixel while j < n_active, then inactive pixels as
+                # padding — rank inversion via blocked searchsorted on
+                # the (ascending) cumulative active/inactive counts.
+                jpos = jnp.arange(pcap, dtype=jnp.float32) + 0.5
+                sa = _rs.sorted_searchsorted_left(ca, jpos)
+                si = _rs.sorted_searchsorted_left(ci, jpos - n_active)
+                sel = jnp.clip(jnp.where(jpos < n_active, sa, si),
+                               0, N - 1).astype(jnp.int32)
+                sel_mask = slot_dense < pcap
             if tcap is not None:
-                # duplicates scatter the same value to a slot — safe
-                uniq = jnp.full((tcap,), deg, jnp.int32).at[
-                    jnp.clip(pos, 0, tcap - 1)].set(flat)
+                # uniq[s] = the (s+1)-th present triangle id; slots past
+                # n_uniq clip to T-1 = the degenerate row (safe pad)
+                uniq = jnp.clip(
+                    _rs.sorted_searchsorted_left(
+                        cp, jnp.arange(tcap, dtype=jnp.float32) + 0.5),
+                    0, self.union_triangles - 1).astype(jnp.int32)
             fits = jnp.bool_(True)
             if pcap is not None:
                 fits = fits & (n_active <= pcap)
@@ -786,14 +808,11 @@ class FusedSensor:
                 fits = fits & (n_uniq < tcap)
 
             if tcap is not None:
-                # Slot lookup as a scatter-built inverse map + gather:
-                # searchsorted(uniq, cand) lowers to a while-loop binary
-                # search costing 1.8 ms/frame at the north star (traced
-                # v5e) vs ~10 us for the gather. Every id in `cand`
-                # occurs in `flat` (= sorted cand), so inv covers all
-                # lookups; duplicate scatters write identical values.
-                inv = jnp.zeros((self.union_triangles,), jnp.int32).at[
-                    flat].set(jnp.clip(pos, 0, tcap - 1).astype(jnp.int32))
+                # Slot lookup: every id in `cand` is present, so the
+                # dense cumsum rank covers all lookups (searchsorted
+                # would be a 1.8 ms/frame while-loop binary search;
+                # the previous scatter-built inverse serialized too).
+                inv = jnp.clip(inv_dense, 0, tcap - 1)
 
             def branch(occ):
                 q_k, age = self._unpack_occ(occ)
@@ -834,10 +853,11 @@ class FusedSensor:
                     # Merge back WITHOUT a row scatter (.at[rows].set is
                     # an XLA scatter: 2.75 ms/frame traced on v5e) — as
                     # an inverse row gather + fused select, one clean
-                    # full-map write:
-                    slot = jnp.zeros((n_pad,), jnp.int32).at[sel].set(
-                        jnp.arange(pcap, dtype=jnp.int32))
-                    selm = jnp.zeros((n_pad,), bool).at[sel].set(True)
+                    # full-map write. slot/selm come straight from the
+                    # dense selection rank (no scatter-built inverse).
+                    slot = jnp.pad(jnp.clip(slot_dense, 0, pcap - 1),
+                                   (0, n_pad - N))
+                    selm = jnp.pad(sel_mask, (0, n_pad - N))
                     src_rows = (slot[:, None] * pr
                                 + jnp.arange(pr, dtype=jnp.int32)[None, :]
                                 ).reshape(-1)

@@ -189,3 +189,18 @@ def test_sorted_searchsorted_left_matches_jnp():
     np.testing.assert_array_equal(
         np.asarray(rs.sorted_searchsorted_left(cdf, pos)),
         np.asarray(jnp.searchsorted(cdf, pos, side="left")))
+
+
+def test_sorted_searchsorted_left_unsorted_and_boundary_pos():
+    """The blocked-rank form is exact for ANY query order (multinomial
+    parents) and for queries beyond either end of the cdf, at sizes
+    that are/aren't multiples of the 128 block (padding branch)."""
+    for seed, (n, m) in enumerate([(128, 64), (1000, 300), (256, 257),
+                                   (10112, 10112), (7, 3)]):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 100))
+        cdf = jnp.sort(jax.random.uniform(k1, (n,)))
+        pos = jax.random.uniform(k2, (m,)) * 1.2 - 0.1  # spills both ends
+        ref = jnp.searchsorted(cdf, pos, side="left")
+        out = rs.sorted_searchsorted_left(cdf, pos)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                      err_msg=f"n={n} m={m}")
