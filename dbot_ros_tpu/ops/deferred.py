@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dbot_ros_tpu.ops import raycast
 from dbot_ros_tpu.utils.mesh import TriangleMesh
@@ -148,13 +149,15 @@ def one_hot_selectors(cand, num_triangles: int):
 # ---------------------------------------------------------------------------
 
 def deferred_depth(mesh: TriangleMesh, poses, rays, selectors,
-                   precision=jax.lax.Precision.HIGH):
+                   precision=jax.lax.Precision.HIGH, bary_slack=0.0):
     """Depth for a particle batch via candidate one-hot matmuls.
 
     Args:
       poses: (P, 7).
       rays: (N, 3).
       selectors: (K, N, T) one-hot candidate selectors (one_hot_selectors).
+      bary_slack: barycentric slack of the inside-test (candidate-coverage
+        fix for sub-pixel faces — see FusedSensor.bary_slack).
     Returns:
       depth (P, N), inf = miss (w.r.t. the candidate sets).
     """
@@ -174,7 +177,8 @@ def deferred_depth(mesh: TriangleMesh, poses, rays, selectors,
         nums = jnp.einsum("nd,npkd->npk", rays, g,
                           precision=jax.lax.Precision.HIGH)
         t = raycast._intersect_from_numerators(
-            nums[..., 0], nums[..., 1], nums[..., 2], tn)
+            nums[..., 0], nums[..., 1], nums[..., 2], tn,
+            slack=bary_slack)
         return t                                          # (N, P)
 
     depth = per_candidate(selectors[0])
@@ -185,13 +189,41 @@ def deferred_depth(mesh: TriangleMesh, poses, rays, selectors,
 
 def make_deferred_renderer(mesh: TriangleMesh, rays, height: int,
                            width: int, radius: int = 2,
-                           num_candidates: int = 4, tri_chunk: int = 512):
-    """Returns render_fn(reference_pose, poses (P,7)) → depth (P, N)."""
+                           num_candidates: int = 4, tri_chunk: int = 512,
+                           bary_slack: float = None,
+                           bary_slack_px: float = 0.25):
+    """Returns render_fn(reference_pose, poses (P,7)) → depth (P, N).
+
+    ``bary_slack``/``bary_slack_px``: the deferred path shares the fused
+    sensor's candidate-coverage failure mode for sub-pixel faces (see
+    FusedSensor.bary_slack). Default (``bary_slack=None``) auto-derives
+    the slack per frame as ``bary_slack_px`` pixels of footprint at the
+    cloud's depth, in barycentric units of the mesh's median edge — so
+    silhouette inflation stays resolution-bounded: negligible for faces
+    coarser than a pixel, coverage-restoring for sub-pixel faces. Pass
+    ``bary_slack=0.0`` for the exact inside-test (oracle-parity tests).
+    """
+    # Horizontal pixel pitch of the z=1 rays is exactly 1/fx (camera.py).
+    rr = np.asarray(rays).reshape(height, width, 3)
+    pitch = float(np.median(np.abs(np.diff(rr[..., 0], axis=1))))
+    e1 = np.asarray(mesh.tri_e1[:mesh.num_triangles])
+    e2 = np.asarray(mesh.tri_e2[:mesh.num_triangles])
+    ln = np.concatenate([np.linalg.norm(e1, axis=1),
+                         np.linalg.norm(e2, axis=1)])
+    ln = ln[ln > 0]
+    med_edge = max(float(np.median(ln)) if ln.size else 1.0, 1e-6)
 
     def render(reference_pose, poses):
         _, ids = raycast_ids(mesh, reference_pose, rays, tri_chunk)
         cand = candidate_ids(ids, height, width, radius, num_candidates)
         sel = one_hot_selectors(cand, mesh.padded_triangles)
-        return deferred_depth(mesh, poses, rays, sel)
+        if bary_slack is not None:
+            slack = jnp.float32(bary_slack)
+        else:
+            zbar = jnp.mean(poses[..., 2])
+            slack = jnp.clip(bary_slack_px * pitch * zbar / med_edge,
+                             0.0, 4.0)
+        return deferred_depth(mesh, poses, rays, sel,
+                              bary_slack=slack)
 
     return render

@@ -72,21 +72,29 @@ def pose_tri_constants(mesh: TriangleMesh, poses):
     return G, t_num
 
 
-def _intersect_from_numerators(u_num, v_num, det, t_num, near=_NEAR):
+def _intersect_from_numerators(u_num, v_num, det, t_num, near=_NEAR,
+                               slack=0.0):
     """Shared hit test: numerators → per-triangle ray parameter (inf = miss).
 
     Multiplies the barycentric conditions through by sign(det) so both
     winding orientations are hit (the reference renders back faces too —
     depth-only pass with culling disabled) and no division happens before
     validity is known.
+
+    ``slack`` relaxes the inside-test by that many barycentric units,
+    accepting hits on the triangle's PLANE near its footprint — used by
+    the candidate-set (deferred/fused) paths, where per-pixel candidate
+    ids sampled at pixel centers structurally miss sub-pixel triangles
+    (see raycast_pallas.FusedSensor.bary_slack). Exact paths use 0.
     """
     s = jnp.sign(det)
     adet = jnp.abs(det)
+    sa = slack * adet
     valid = (
         (adet > _DET_EPS)
-        & (s * u_num >= 0.0)
-        & (s * v_num >= 0.0)
-        & (s * (u_num + v_num) <= adet)
+        & (s * u_num >= -sa)
+        & (s * v_num >= -sa)
+        & (s * (u_num + v_num) <= adet + sa)
         & (s * t_num > near * adet)
     )
     t = jnp.where(valid, t_num / jnp.where(adet > _DET_EPS, det, 1.0),

@@ -39,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -193,6 +194,7 @@ def _fused_kernel(cand_ref, z_ref, rays_ref, ages_ref, params_ref, occ_ref,
     occ_lg = params_ref[0, 12]    # log|g| of the occlusion chain
     occ_dtf = params_ref[0, 13]   # this call's dt in frame units
     occ_sgn = params_ref[0, 14]   # sign(g); lazy ages require g >= 0
+    slack = params_ref[0, 15]     # barycentric slack (candidate coverage)
 
     def dma(j, buf, k):
         tid = cand_ref[j, k]
@@ -234,10 +236,19 @@ def _fused_kernel(cand_ref, z_ref, rays_ref, ages_ref, params_ref, occ_ref,
             tn = comp(9)
             sgn = jnp.sign(det)
             adet = jnp.abs(det)
+            # Barycentric slack: accept plane hits within `slack` of the
+            # triangle footprint. When mesh faces are finer than the
+            # pixel grid, the reference-pose id image structurally
+            # misses most of the triangles a displaced particle's ray
+            # actually hits (measured 8 % candidate coverage at the
+            # north star for a 6.7 mm shift); the neighbor face's PLANE
+            # approximates the surface to O(face²·curvature) ≪ beam σ,
+            # so the slack restores coverage at zero extra DMA.
+            sa = slack * adet
             valid = ((adet > _DET_EPS)
-                     & (sgn * u >= 0.0)
-                     & (sgn * v >= 0.0)
-                     & (sgn * (u + v) <= adet)
+                     & (sgn * u >= -sa)
+                     & (sgn * v >= -sa)
+                     & (sgn * (u + v) <= adet + sa)
                      & (sgn * tn > _NEAR * adet))
             tk = jnp.where(valid, tn / jnp.where(valid, det, 1.0), _BIG)
             t = jnp.minimum(t, tk)
@@ -419,7 +430,8 @@ def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
                                P, nb=nb, interpret=interpret)
 
 
-def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
+def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames,
+                    bary_slack=0.0):
     """Pack model parameters + propagated-chain coefficients into (16,).
 
     The kernel propagates the occlusion chain as
@@ -427,6 +439,9 @@ def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
     equals the classic one-step ``sign(g)*|g|^dt``; nonzero lazy ages
     require g >= 0 (sign would alternate per step; FusedSensor only
     enables lazy aging for g >= 0, the physical regime).
+
+    ``bary_slack`` relaxes the candidate inside-test by that many
+    barycentric units (see the kernel comment; FusedSensor.bary_slack).
     """
     g = op.p_occluded_occluded - op.p_occluded_visible
     pi = op.p_occluded_visible / jnp.maximum(1.0 - g, 1e-12)
@@ -438,7 +453,7 @@ def make_params_vec(bp: BeamParams, op: OcclusionParams, dt_frames):
         bp.p_invalid_visible, bp.p_invalid_background, pi, gdt,
         1.0 / (bp.max_depth - bp.min_depth),
         lg, jnp.asarray(dt_frames, jnp.float32), jnp.sign(g),
-        jnp.float32(0),
+        jnp.asarray(bary_slack, jnp.float32),
     ]).astype(jnp.float32)
 
 
@@ -476,7 +491,8 @@ class FusedSensor:
     def __init__(self, meshes, camera, bp, op, frame_rate=30.0,
                  num_candidates=2, radius=2, nb=64, interpret=None,
                  active_cap_frac=None, tri_cap_frac=None, levels=None,
-                 lineage_gather="take"):
+                 lineage_gather="take", bary_slack=None,
+                 bary_slack_px=0.25):
         self.meshes = ([meshes] if isinstance(meshes, TriangleMesh)
                        else list(meshes))
         self.camera = camera
@@ -511,6 +527,35 @@ class FusedSensor:
         if lineage_gather not in ("windowed", "take"):
             raise ValueError(f"unknown lineage_gather: {lineage_gather!r}")
         self.lineage_gather = lineage_gather
+        # Candidate inside-test slack. The deferred reference pass samples
+        # triangle ids at pixel centers; for meshes whose faces are finer
+        # than a pixel, a displaced particle's ray hits triangles that
+        # appear at NO pixel center (8-25 % candidate coverage measured at
+        # reference operating points) and would read as misses (~10
+        # nats/pixel penalty → the filter locks onto the stale pose).
+        # Accepting hits on a candidate's PLANE within a slack of its
+        # barycentric footprint closes the gaps with
+        # O((slack·face)²·curvature) depth error — sub-mm ≪ beam σ.
+        # The natural unit is PIXELS (silhouette inflation is then
+        # resolution-bounded regardless of tessellation): per frame the
+        # barycentric slack is bary_slack_px · pixel_footprint(z̄) /
+        # median_edge — two independent operating points measured optimal
+        # at ≈0.25 px. ``bary_slack`` (barycentric units) overrides the
+        # auto rule when not None; 0.0 = exact inside-test.
+        self.bary_slack = None if bary_slack is None else float(bary_slack)
+        self.bary_slack_px = float(bary_slack_px)
+        edges = []
+        for m in self.meshes:
+            e1 = np.asarray(m.tri_e1[:m.num_triangles])
+            e2 = np.asarray(m.tri_e2[:m.num_triangles])
+            ln = np.concatenate([np.linalg.norm(e1, axis=1),
+                                 np.linalg.norm(e2, axis=1)])
+            ln = ln[ln > 0]
+            edges.append(float(np.median(ln)) if ln.size else 1.0)
+        # finest mesh drives the slack (largest need); coarser meshes get
+        # proportionally less benefit but stay pixel-bounded
+        self._min_median_edge = max(min(edges), 1e-6)
+        self._fx = float(jnp.asarray(camera.camera_matrix)[0, 0])
         # Lazy per-pixel occlusion aging (the occlusion leaf becomes a
         # (q, age) tuple; see __call__). Requires g >= 0 so the closed
         # form g^k keeps its sign — true for any physical occlusion
@@ -713,7 +758,16 @@ class FusedSensor:
         pr = p_pad // 128
         cand = self.candidates(states)
         dtf = dt * self.frame_rate
-        params_vec = make_params_vec(self.bp, self.op, dtf)
+        if self.bary_slack is not None:
+            slack = jnp.float32(self.bary_slack)
+        else:
+            # auto: bary_slack_px pixels of footprint at the cloud's
+            # depth, in barycentric units of the finest mesh
+            zbar = jnp.max(jnp.mean(states[..., 2], axis=0))
+            slack = jnp.clip(
+                self.bary_slack_px * (zbar / self._fx)
+                / self._min_median_edge, 0.0, 4.0)
+        params_vec = make_params_vec(self.bp, self.op, dtf, slack)
         N = z_obs.shape[0]
         n_pad = _round_up(N, self.nb)
         deg = self.union_triangles - 1
@@ -895,7 +949,9 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       active_cap_frac: float = None,
                       tri_cap_frac: float = None,
                       levels=None,
-                      lineage_gather: str = "take") -> FusedSensor:
+                      lineage_gather: str = "take",
+                      bary_slack: float = None,
+                      bary_slack_px: float = 0.25) -> FusedSensor:
     """Fused sensor factory (the flagship large-particle config).
 
     Accepts one mesh or a list of per-object meshes (multi-object scenes
@@ -904,7 +960,11 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
     ``levels``: compaction ladder as (pixel_frac, triangle_frac) pairs,
     tightest first (default ``[(1/12, 0.2), (0.5, 0.75)]``); the legacy
     ``active_cap_frac``/``tri_cap_frac`` pair defines a single level.
+    ``bary_slack``/``bary_slack_px``: candidate inside-test slack
+    (default: auto, 0.25 px of footprint — see FusedSensor); pass
+    ``bary_slack=0.0`` for the exact inside-test (oracle-parity tests).
     """
     return FusedSensor(meshes, camera, bp, op, frame_rate, num_candidates,
                        radius, nb, interpret, active_cap_frac,
-                       tri_cap_frac, levels, lineage_gather)
+                       tri_cap_frac, levels, lineage_gather, bary_slack,
+                       bary_slack_px)

@@ -65,9 +65,11 @@ def test_deferred_matches_exact_near_reference():
          jax.vmap(se3.quat_boxplus, in_axes=(None, 0))(ref[3:7], drot)], -1)
 
     exact = raycast.raycast_depth(mesh, poses, cam.rays, 128)
+    # bary_slack=0: parity test against the exact inside-test (the default
+    # slack intentionally trades depth exactness for candidate coverage).
     render = deferred.make_deferred_renderer(
         mesh, cam.rays, cam.height, cam.width, radius=2, num_candidates=4,
-        tri_chunk=128)
+        tri_chunk=128, bary_slack=0.0)
     approx = render(ref, poses)
     assert approx.shape == exact.shape
 
@@ -160,7 +162,8 @@ def test_deferred_exact_for_reference_pose_itself():
     cam = cam32()
     ref = base_pose()
     render = deferred.make_deferred_renderer(
-        mesh, cam.rays, cam.height, cam.width, tri_chunk=128)
+        mesh, cam.rays, cam.height, cam.width, tri_chunk=128,
+        bary_slack=0.0)
     approx = render(ref, ref[None])
     exact = raycast.raycast_depth(mesh, ref[None], cam.rays, 128)
     both = np.isfinite(np.asarray(exact))

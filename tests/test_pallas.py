@@ -140,7 +140,10 @@ def test_fused_multi_object_matches_candidate_oracle():
     z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
     z_obs = z_obs.at[::29].set(jnp.nan)
 
-    sensor = make_fused_sensor(meshes, cam, bp, op, interpret=True, nb=32)
+    # bary_slack=0: this is a parity test against the exact intersection
+    # of the same candidate sets (slack intentionally deviates from it)
+    sensor = make_fused_sensor(meshes, cam, bp, op, interpret=True, nb=32,
+                               bary_slack=0.0)
     occ0_prob = 0.15
     occ_k = sensor.init_occlusion(P, occ0_prob)
     dt = 1.0 / 30.0
@@ -312,6 +315,48 @@ def test_lazy_occlusion_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(belief.occlusion),
                     jax.tree_util.tree_leaves(restored.occlusion)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bary_slack_fixes_displaced_pose_scoring():
+    """Regression: with faces finer than the pixel grid, the reference-pose
+    id image covers only a small fraction of the triangles a displaced
+    particle actually hits (8-25 % measured), so with an exact inside-test
+    the TRUE pose scores ~10 nats/px below a stale one and the filter
+    locks onto the stale pose. The default bary_slack must make the true
+    pose win; slack=0 must reproduce the failure (documenting why the
+    default is nonzero)."""
+    from dbot_ros_tpu.utils.camera import default_kinect_camera
+    from dbot_ros_tpu.utils.mesh import icosphere_mesh
+
+    cam = default_kinect_camera(16)
+    mesh = icosphere_mesh(radius=0.06, subdivisions=2)  # face ≪ pixel
+    bp = beam.make_beam_params(model_sigma=0.005)
+    op = occlusion.make_occlusion_params()
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.8]),
+                             se3.quat_identity()])
+    gt = pose0.at[0].set(0.006).at[1].set(0.003)
+    z = raycast.raycast_depth(mesh, gt, cam.rays)
+    z_obs = jnp.where(jnp.isfinite(z), z, jnp.nan)
+    P = 64
+    dpos = 0.01 * jax.random.normal(jax.random.PRNGKey(0), (P, 3))
+    states = jnp.zeros((P, 1, 13), jnp.float32)
+    states = states.at[:, 0, :3].set(pose0[:3] + dpos)
+    states = states.at[:, 0, 3:7].set(pose0[3:7])
+    states = states.at[0, 0, :7].set(gt)     # particle 0 = truth
+    states = states.at[1, 0, :7].set(pose0)  # particle 1 = stale
+
+    def loglik(slack):
+        sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True,
+                                   bary_slack=slack)
+        occ = sensor.init_occlusion(P, 0.1)
+        ll, _ = sensor(states, occ, z_obs, 1.0 / 30.0)
+        return np.asarray(ll)
+
+    ll_fixed = loglik(0.5)
+    assert ll_fixed[0] > ll_fixed[1], (ll_fixed[0], ll_fixed[1])
+    assert int(ll_fixed.argmax()) == 0
+    ll_broken = loglik(0.0)
+    assert ll_broken[0] < ll_broken[1], "coverage bug gone? revisit slack"
 
 
 def test_fused_backend_tracking():
