@@ -590,7 +590,7 @@ class FusedSensor:
             return occ[0], occ[1]
         return occ, None
 
-    def gather_occlusion(self, occ_k, parent_idx):
+    def gather_occlusion(self, occ_k, parent_idx, num_in=None):
         """Particle-lineage gather in kernel layout (resampling).
 
         ``lineage_gather="take"`` (default) is the plain XLA lane
@@ -603,22 +603,53 @@ class FusedSensor:
         exact, finiteness precondition satisfied by [0, 1] occlusion
         probs) — measured at parity with take end-to-end, kept as an
         option for layouts where the XLA gather regresses.
+
+        ``num_in`` (default: ``len(parent_idx)``) is the particle count
+        of the *source* map when it differs from the output count — the
+        distributed count-redistribution exchange compacts L-particle
+        shard blocks into C-particle surplus buffers and back
+        (parallel/dist_filter, SURVEY.md §7 hard part #2).
         """
         from dbot_ros_tpu.ops import resample as rs
 
         occ_k, age = self._unpack_occ(occ_k)
-        p = parent_idx.shape[0]
-        p_pad, n_pad, pr = self._pads(p)
-        view = occ_k.reshape(n_pad, p_pad)
+        p_out = parent_idx.shape[0]
+        p_in = p_out if num_in is None else num_in
+        p_pad_in, n_pad, _ = self._pads(p_in)
+        p_pad_out, _, pr_out = self._pads(p_out)
+        view = occ_k.reshape(n_pad, p_pad_in)
+        # pad lanes map to pad lanes when shapes allow (keeps the padded
+        # particles' rows stable); otherwise clamp into range — padding
+        # content is arbitrary but must stay finite
+        pad_idx = jnp.minimum(jnp.arange(p_out, p_pad_out, dtype=jnp.int32),
+                              p_pad_in - 1)
         idx_full = jnp.concatenate(
-            [parent_idx.astype(jnp.int32),
-             jnp.arange(p, p_pad, dtype=jnp.int32)])
-        if self.lineage_gather == "windowed":
+            [parent_idx.astype(jnp.int32), pad_idx])
+        if self.lineage_gather == "windowed" and p_in == p_out:
             out = rs.windowed_lane_gather(view, idx_full)
         else:
             out = jnp.take(view, idx_full, axis=1, mode="clip")
-        out = out.reshape(n_pad * pr, 128)
+        out = out.reshape(n_pad * pr_out, 128)
         # age is per-pixel (particle-independent) → lineage-invariant
+        return out if age is None else (out, age)
+
+    def concat_occlusion(self, blocks, num_each):
+        """Concatenate occlusion blocks along the particle (lane) axis.
+
+        Each block holds ``num_each`` particles in kernel layout; the
+        result holds ``len(blocks) * pads(num_each)`` lanes (padding
+        lanes stay interleaved — callers index with a stride of
+        ``pads(num_each)``). Used by the count-redistribution exchange
+        to fuse the per-hop surplus buffers into one gather source.
+        """
+        p_pad, n_pad, _ = self._pads(num_each)
+        qs, age = [], None
+        for blk in blocks:
+            q, a = self._unpack_occ(blk)
+            age = a if age is None else age
+            qs.append(q.reshape(n_pad, p_pad))
+        cat = jnp.concatenate(qs, axis=1)
+        out = cat.reshape(-1, 128)
         return out if age is None else (out, age)
 
     def where_occlusion(self, particle_mask, a, b):

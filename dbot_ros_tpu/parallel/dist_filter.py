@@ -1,9 +1,11 @@
-"""Multi-chip particle filtering with shard_map (SURVEY.md §2.5, P1/P5-P7).
+"""Multi-chip / multi-host particle filtering with shard_map.
+
+(SURVEY.md §2.5, P1/P3/P5-P7.)
 
 The reference's only scaling axis is GPU-tile data parallelism over
 particles inside one process (D12-D14). Here particles shard across a
-``jax.sharding.Mesh`` axis ("p"); the whole filter step runs under
-``shard_map`` with explicit collectives:
+``jax.sharding.Mesh`` axis ("p" — ICI within a slice); the whole filter
+step runs under ``shard_map`` with explicit collectives:
 
   * likelihood evaluation: embarrassingly parallel per shard (the compute-
     dominant term — scaling efficiency lives here);
@@ -12,49 +14,106 @@ particles inside one process (D12-D14). Here particles shard across a
   * systematic resampling: ``all_gather`` of the (tiny: P floats) weight
     vector → identical global parent indices on every shard → each shard
     materializes its slice of offspring, fetching parent *state* via an
-    all_gather of pose states (P×13 floats — small) and parent occlusion
-    rows via an all_gather of the occlusion map — exact, but the occlusion
-    all_gather is the scaling cost. :func:`make_island_step` removes it
-    from the common path entirely (island-model PF: local resampling,
-    rare block-regular island exchanges) at a small statistical cost.
+    all_gather of pose states (P×K×13 floats — small) and parent
+    occlusion rows via one of the ``exchange`` strategies (the O(P·N_pix)
+    movement — SURVEY.md hard part #2). The default ``"counts"`` exchange
+    redistributes *surplus particles only*: traffic ∝ distinct parents
+    moved, not P. :func:`make_island_step` removes the per-particle
+    exchange from the common path entirely (island-model PF).
 
-Multi-object / multi-scene batching (P7) composes on an outer mesh axis
-("b"): independent scenes are pure data parallelism (vmap over the scene
-axis + sharding), exercised in dryrun_multichip.
+Multi-object scenes run the reference's coordinate-block loop (D17/P3)
+inside shard_map: per object, sample the block, evaluate the union-scene
+likelihood, telescope the weights, and resample globally when the KL
+trigger fires — identical semantics to the single-device
+``filters.rbcpf.rbcpf_step``.
+
+Multi-scene batching (P7) composes on a second mesh axis:
+:func:`make_multi_scene_step` runs S independent scenes on a 2-D
+``Mesh(("host", "chip"))`` — scenes data-parallel over "host" (DCN-safe:
+zero cross-scene collectives), particles over "chip" (ICI collectives
+only) — the SURVEY §7 layer-8 layout. The same code runs multi-process
+under ``jax.distributed`` (tests/test_multihost.py drives 2 CPU
+processes × 4 virtual devices each through it).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dbot_ros_tpu.filters.rbcpf import ParticleBelief
 from dbot_ros_tpu.models.transition import TransitionParams, sample_transition
 from dbot_ros_tpu.ops import resample as rs
-from dbot_ros_tpu.utils import se3
+
+EXCHANGES = ("counts", "neighbor", "ring", "all_gather")
 
 
 def make_particle_mesh(n_devices: int = None, axis: str = "p") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    import numpy as np
     return Mesh(np.array(devs), (axis,))
+
+
+def make_scene_mesh(n_scene: int, n_particle: int,
+                    axis_names=("host", "chip")) -> Mesh:
+    """2-D mesh: scenes/objects on the first (DCN) axis, particles on the
+    second (ICI) axis — SURVEY.md §7 layer 8's ``Mesh(("host","chip"))``.
+
+    On a multi-host pod slice ``jax.devices()`` orders devices host-major,
+    so the reshape puts whole hosts on the scene axis: the particle
+    collectives (psum/ppermute every frame) ride ICI while the scene axis
+    carries no collectives at all (pure data parallelism → DCN-safe).
+    """
+    devs = jax.devices()
+    need = n_scene * n_particle
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_scene, n_particle),
+                axis_names)
+
+
+def _round_up128(n: int) -> int:
+    return -(-int(n) // 128) * 128
 
 
 def _occ_hooks(loglik_fn):
     """Occlusion-leaf hooks: sensor-provided (opaque device layout, e.g.
-    the fused Pallas sensor's kernel layout) or the (P, N) defaults."""
-    gather = getattr(loglik_fn, "gather_occlusion", None) or (
-        lambda occ, idx: jnp.take(occ, idx, axis=0))
+    the fused Pallas sensor's kernel layout) or the (P, N) defaults.
+
+    Returns (gather, where, concat, stride):
+      * gather(occ, idx, num_in=None): particle-axis gather; ``num_in``
+        is the source particle count when it differs from ``len(idx)``;
+      * where(mask, a, b): per-particle select between two maps;
+      * concat(blocks, num_each): concatenate equal-size particle
+        blocks along the particle axis;
+      * stride(n): the particle-index stride of one n-particle block
+        inside a concat result (opaque layouts pad blocks to 128 lanes;
+        the plain layout doesn't pad).
+    """
+    sensor_gather = getattr(loglik_fn, "gather_occlusion", None)
+    if sensor_gather is None:
+        def gather(occ, idx, num_in=None):
+            return jnp.take(occ, idx, axis=0, mode="clip")
+    else:
+        def gather(occ, idx, num_in=None):
+            return sensor_gather(occ, idx, num_in=num_in)
     where = getattr(loglik_fn, "where_occlusion", None) or (
-        lambda mask, a, b: jnp.where(mask[:, None], a, b))
-    return gather, where
+        lambda mask, a, b: jnp.where(
+            mask.reshape((-1,) + (1,) * (a.ndim - 1)), a, b))
+    concat = getattr(loglik_fn, "concat_occlusion", None)
+    if concat is None:
+        stride = lambda n: n  # noqa: E731
+        concat = lambda blocks, num_each: jnp.concatenate(  # noqa: E731
+            blocks, axis=0)
+    else:
+        stride = _round_up128
+    return gather, where, concat, stride
 
 
 def init_distributed_belief(key, initial_poses, num_particles: int,
@@ -118,171 +177,302 @@ def _global_log_normalizers(log_w, axis):
     return lse, s2, kl, p_total
 
 
-def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
-                          trans_params: TransitionParams, dt: float,
-                          max_kl_divergence: float = 1.0,
-                          axis: str = "p", exchange: str = "neighbor",
-                          max_hops: int = 1):
-    """Build a jitted multi-chip RBC-PF step (single object per scene).
+def _psum_mean_state(states, w, axis, power_iters=12):
+    """Global weighted mean over sharded particles → (K, 13).
 
-    Returns step(belief_sharded, z_obs) → (belief_sharded, mean_state,
-    ess). The observation ``z_obs`` is replicated; all particle-axis
-    leaves stay sharded in and out (donated by the caller if desired).
-
-    ``exchange`` picks how resampling fetches parent occlusion maps across
-    shards (the O(P·N_pix) movement — SURVEY.md hard part #2):
-
-      * ``"neighbor"`` (default): bounded-hop exchange exploiting that
-        systematic-resampling parents are globally *sorted* — shard s's
-        offspring rows [sL, (s+1)L) draw parents from one contiguous
-        index range, which for non-degenerate weights lies within
-        ``max_hops`` shards of s. Each of the 2H+1 hops is one
-        ``ppermute`` of the local block; total ICI traffic is (2H+1)
-        blocks instead of the ring's S blocks — resampling cost stops
-        growing with the mesh. The needed hop count is computed
-        globally (pmax — uniform across shards) and frames whose
-        parents reach further fall back to the full ring, so the
-        result is exact for any weights.
-      * ``"ring"``: S-step ppermute ring — each shard streams every
-        block past exactly once and plucks the rows its offspring need.
-        Same total ICI traffic as an all_gather but **peak memory O(2
-        local blocks)** instead of O(S) — the occlusion map never
-        materializes unsharded, so particle counts can scale with the
-        mesh. Block-regular, bisection-friendly traffic.
-      * ``"all_gather"``: gather the full map then take (simplest;
-        bounded by per-chip HBM).
-
-    Parent *states* are always fetched via all_gather — (P, K, 13) floats
-    is negligible. Works with any sensor, including the fused Pallas
-    sensor whose occlusion leaf lives in an opaque kernel layout (hooks
-    ``gather_occlusion``/``where_occlusion``).
+    Linear part by psum; per-object quaternion mean as the principal
+    eigenvector of the psum'd 4×4 outer-product matrix by power iteration
+    (see se3.states_mean — eigh on tiny matrices is disproportionately
+    slow under jit on TPU).
     """
-    occ_gather, occ_where = _occ_hooks(loglik_fn)
-    if exchange not in ("neighbor", "ring", "all_gather"):
+    lin = jax.lax.psum(jnp.einsum("p,pkd->kd", w, states), axis)
+    q = states[..., 3:7]                                     # (P, K, 4)
+    A = jax.lax.psum(jnp.einsum("p,pki,pkj->kij", w, q, q), axis)
+    qm = A[..., 0]
+    qm = qm / jnp.maximum(jnp.linalg.norm(qm, axis=-1, keepdims=True),
+                          1e-12)
+    for _ in range(power_iters):
+        qm = jnp.einsum("kij,kj->ki", A, qm)
+        qm = qm / jnp.maximum(jnp.linalg.norm(qm, axis=-1, keepdims=True),
+                              1e-20)
+    qm = qm * jnp.where(qm[..., :1] < 0, -1.0, 1.0)
+    return jnp.concatenate([lin[:, :3], qm, lin[:, 7:13]], axis=-1)
+
+
+def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
+                    n_shards, p_local, axis, exchange, max_hops,
+                    capacity, hooks):
+    """Global systematic resampling of one coordinate block's aftermath.
+
+    Returns (states, log_w, occ, old_loglik). All exchange modes produce
+    the all_gather resampler's output bit-for-bit (same key → same
+    parents); they differ only in how parent occlusion rows cross shards
+    (see make_distributed_step's docstring).
+    """
+    occ_gather, occ_where, occ_concat, occ_stride = hooks
+    w_all = jax.lax.all_gather(jnp.exp(ln), axis, tiled=True)
+    cdf = jnp.cumsum(w_all)
+    u = jax.random.uniform(k_res, ())  # same key → same u everywhere
+    total = w_all.shape[0]
+    pos = (jnp.arange(p_local, dtype=jnp.float32)
+           + idx * p_local + u) / total
+    # pos is ascending -> rank by the blocked compare-reduce instead of
+    # the while-loop binary search (see resample.py notes)
+    parents = jnp.clip(rs.sorted_searchsorted_left(cdf, pos),
+                       0, total - 1)
+    # Parent states + running loglik: tiny, always all_gather.
+    st_all = jax.lax.all_gather(states, axis, tiled=True)
+    new_states = jnp.take(st_all, parents, axis=0)
+    ll_all = jax.lax.all_gather(old_loglik, axis, tiled=True)
+    new_old_loglik = jnp.take(ll_all, parents, axis=0)
+
+    owner = parents // p_local
+
+    def pluck(out, blk, src):
+        """Copy rows of `parents` owned by shard `src` from blk."""
+        local_idx = jnp.clip(parents - src * p_local, 0, p_local - 1)
+        mask = ((parents >= src * p_local)
+                & (parents < (src + 1) * p_local))
+        return occ_where(mask, occ_gather(blk, local_idx), out)
+
+    def full_ring(occ):
+        # At round r shard `idx` holds shard (idx+r)%S's block; it
+        # copies the rows of parents owned by that shard, then passes
+        # the block along the ring.
+        ring = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+        def round_body(r, carry):
+            held, out = carry
+            out = pluck(out, held, (idx + r) % n_shards)
+            held = jax.lax.ppermute(held, axis, ring)
+            return held, out
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, occ)
+        _, new_occ = jax.lax.fori_loop(0, n_shards, round_body,
+                                       (occ, zero))
+        return new_occ
+
+    if exchange == "all_gather":
+        stride = occ_stride(p_local)
+        occ_all = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, axis), occ)   # (S, ...) leaves
+        blocks = [jax.tree_util.tree_map(lambda x, s=s: x[s], occ_all)
+                  for s in range(n_shards)]
+        combined = occ_concat(blocks, p_local)
+        gidx = owner * stride + (parents - owner * p_local)
+        new_occ = occ_gather(combined, gidx, num_in=n_shards * stride)
+    elif exchange == "ring" or n_shards <= 2 * max_hops + 1:
+        new_occ = full_ring(occ)
+    elif exchange == "neighbor":
+        # Bounded-hop whole-block exchange: parents are sorted, so this
+        # shard needs rows from owner shards within [d_min, d_max] hops.
+        # The hop span is reduced globally (pmax — uniform predicate) so
+        # every shard takes the same branch; overflow frames run the
+        # exact full ring.
+        d = owner - idx
+        span = jax.lax.pmax(jnp.maximum(jnp.max(d), -jnp.min(d)), axis)
+
+        def neighbor(occ):
+            out = jax.tree_util.tree_map(jnp.zeros_like, occ)
+            out = pluck(out, occ, idx)
+            for h in range(1, max_hops + 1):
+                for s in (h, -h):
+                    # blk on shard i = shard (i+s) mod S's block
+                    perm = [((i + s) % n_shards, i)
+                            for i in range(n_shards)]
+                    blk = jax.lax.ppermute(occ, axis, perm)
+                    out = pluck(out, blk, (idx + s) % n_shards)
+            return out
+
+        new_occ = jax.lax.cond(span <= max_hops, neighbor, full_ring,
+                               occ)
+    else:
+        # Count-redistribution (SURVEY §7 hard part #2: "redistribute
+        # counts then shuffle only surplus particles"). Every shard
+        # recomputes each hop-neighbor's parent list from the shared
+        # (cdf, u) — no extra communication — compacts the *distinct*
+        # rows that neighbor needs from this shard into a C-row surplus
+        # buffer, and ships only the buffers (one small ppermute per
+        # hop). ICI traffic ∝ distinct parents moved, not P. Frames
+        # whose hop span or distinct-parent count overflow run the
+        # exact full ring instead.
+        C = capacity if capacity is not None else max(128, p_local // 8)
+        C = min(_round_up128(C), _round_up128(p_local))
+        hops = list(range(-max_hops, max_hops + 1))
+        half = n_shards // 2
+        dw = (owner - idx + half) % n_shards - half  # minimal signed hop
+        span = jax.lax.pmax(jnp.max(jnp.abs(dw)), axis)
+
+        # Sender-side compaction plans: for each hop, the distinct local
+        # rows the destination shard needs from this shard ((L,) vector
+        # math — cheap; outside the cond so the overflow predicate can
+        # see the distinct counts).
+        plans = []
+        m_max = jnp.int32(0)
+        for s in hops:
+            dest = (idx + s) % n_shards
+            pos_d = (jnp.arange(p_local, dtype=jnp.float32)
+                     + dest * p_local + u) / total
+            p_d = jnp.clip(rs.sorted_searchsorted_left(cdf, pos_d),
+                           0, total - 1)
+            mine = (p_d // p_local) == idx
+            chg = jnp.concatenate(
+                [jnp.ones((1,), bool), p_d[1:] != p_d[:-1]])
+            first = mine & chg
+            slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+            # compact: rows[slot] = local parent row, only where `first`
+            # (out-of-bounds targets are dropped)
+            rows = jnp.zeros((C,), jnp.int32).at[
+                jnp.where(first, slot, C)].set(
+                jnp.where(first, p_d - idx * p_local, 0), mode="drop")
+            plans.append(rows)
+            m_max = jnp.maximum(m_max, jnp.sum(first.astype(jnp.int32)))
+        m_max = jax.lax.pmax(m_max, axis)
+
+        # Receiver-side slots into the fused buffer (stride C): offspring
+        # j's parent sits at slot = its distinct-rank within the run of
+        # parents owned by the source shard (cumsum of first-occurrence
+        # flags — duplicates inherit the preceding first's rank).
+        chg_mine = jnp.concatenate(
+            [jnp.ones((1,), bool), parents[1:] != parents[:-1]])
+        cidx = jnp.zeros((p_local,), jnp.int32)
+        for h, s in enumerate(hops):
+            src = (idx - s) % n_shards
+            mask = owner == src
+            slotm = jnp.cumsum((mask & chg_mine).astype(jnp.int32)) - 1
+            cidx = jnp.where(mask, h * C + slotm, cidx)
+
+        def counts_path(occ):
+            bufs = []
+            for s, rows in zip(hops, plans):
+                buf = occ_gather(occ, rows, num_in=p_local)
+                if s != 0:
+                    perm = [(i, (i + s) % n_shards)
+                            for i in range(n_shards)]
+                    buf = jax.lax.ppermute(buf, axis, perm)
+                bufs.append(buf)
+            combined = occ_concat(bufs, C)
+            return occ_gather(combined, cidx, num_in=C * len(hops))
+
+        ok = (span <= max_hops) & (m_max <= C)
+        new_occ = jax.lax.cond(ok, counts_path, full_ring, occ)
+
+    return new_states, jnp.zeros_like(log_w), new_occ, new_old_loglik
+
+
+def _make_step_local(loglik_fn, trans_params, dt, max_kl_divergence,
+                     axis, exchange, max_hops, capacity):
+    """Per-scene local step body: (states, log_w, occ, key (2,), z_obs)
+    → (states, log_w, occ, key', mean_state (K,13), ess). Collectives
+    reference ``axis`` by name; shared by the 1-D particle step and the
+    2-D scene×particle step (where it runs under a scene vmap)."""
+    hooks = _occ_hooks(loglik_fn)
+    if exchange not in EXCHANGES:
         raise ValueError(f"unknown exchange mode: {exchange!r}")
 
-    def step_local(states, log_w, occ, key, z_obs):
-        # shapes here are the per-shard blocks
+    def step_one(states, log_w, occ, key, z_obs):
         idx = jax.lax.axis_index(axis)
         n_shards = jax.lax.axis_size(axis)
         p_local = states.shape[0]
+        num_objects = states.shape[1]
 
-        key_next, k_trans, k_res = jax.random.split(key[0], 3)
-        k_trans = jax.random.fold_in(k_trans, idx)
+        key_next, k_trans, k_res_base = jax.random.split(key, 3)
+        old_loglik = jnp.zeros_like(log_w)
 
-        # --- transition + likelihood (block-parallel, zero comms)
-        new_block = sample_transition(k_trans, states[:, 0], dt,
-                                      trans_params)
-        states = states.at[:, 0].set(new_block)
-        loglik, occ_post = loglik_fn(states, occ, z_obs, dt)
-        occ = occ_post
-        log_w = log_w + loglik
+        # --- the reference's coordinate-block loop (D17/P3), unrolled
+        for b in range(num_objects):
+            k_b = jax.random.fold_in(
+                jax.random.fold_in(k_trans, b), idx)
+            new_block = sample_transition(k_b, states[:, b], dt,
+                                          trans_params)
+            states = states.at[:, b].set(new_block)
 
-        # --- global weight stats (psum over ICI)
-        lse, s2, kl, p_total = _global_log_normalizers(log_w, axis)
-        ln = log_w - lse
-        ess = 1.0 / s2
+            # evaluate; occlusion posterior committed on the last block
+            loglik, occ_post = loglik_fn(states, occ, z_obs, dt)
+            if b == num_objects - 1:
+                occ = occ_post
+            log_w = log_w + loglik - old_loglik
+            old_loglik = loglik
 
-        # --- KL-triggered global systematic resampling
-        def do_resample(args):
-            states, log_w, occ = args
-            w_all = jax.lax.all_gather(jnp.exp(ln), axis, tiled=True)
-            cdf = jnp.cumsum(w_all)
-            u = jax.random.uniform(k_res, ())  # same key → same u everywhere
-            total = w_all.shape[0]
-            pos = (jnp.arange(p_local, dtype=jnp.float32)
-                   + idx * p_local + u) / total
-            # pos is ascending -> rank by one merged sort instead of
-            # the while-loop binary search (see resample.py notes)
-            parents = jnp.clip(rs.sorted_searchsorted_left(cdf, pos),
-                               0, total - 1)
-            # Parent states: tiny, always all_gather.
-            st_all = jax.lax.all_gather(states, axis, tiled=True)
-            new_states = jnp.take(st_all, parents, axis=0)
+            # --- global weight stats (psum over ICI)
+            lse, s2, kl, p_total = _global_log_normalizers(log_w, axis)
+            ln = log_w - lse
 
-            def pluck(out, blk, src):
-                """Copy rows of `parents` owned by shard `src` from blk."""
-                local_idx = jnp.clip(parents - src * p_local, 0,
-                                     p_local - 1)
-                mask = ((parents >= src * p_local)
-                        & (parents < (src + 1) * p_local))
-                return occ_where(mask, occ_gather(blk, local_idx), out)
+            # --- KL-triggered global systematic resampling
+            k_res = jax.random.fold_in(k_res_base, b)
+            states, log_w, occ, old_loglik = jax.lax.cond(
+                kl > max_kl_divergence,
+                lambda args, _ln=ln, _k=k_res: _resample_block(
+                    *args, ln=_ln, k_res=_k, idx=idx,
+                    n_shards=n_shards, p_local=p_local, axis=axis,
+                    exchange=exchange, max_hops=max_hops,
+                    capacity=capacity, hooks=hooks),
+                lambda args: args,
+                (states, log_w, occ, old_loglik))
 
-            def full_ring(occ):
-                # At round r shard `idx` holds shard (idx+r)%S's block;
-                # it copies the rows of parents owned by that shard, then
-                # passes the block along the ring.
-                ring = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-
-                def round_body(r, carry):
-                    held, out = carry
-                    out = pluck(out, held, (idx + r) % n_shards)
-                    held = jax.lax.ppermute(held, axis, ring)
-                    return held, out
-
-                zero = jax.tree_util.tree_map(jnp.zeros_like, occ)
-                _, new_occ = jax.lax.fori_loop(
-                    0, n_shards, round_body, (occ, zero))
-                return new_occ
-
-            if exchange == "all_gather":
-                occ_all = jax.lax.all_gather(occ, axis, tiled=True)
-                new_occ = jnp.take(occ_all, parents, axis=0)
-            elif exchange == "ring" or n_shards <= 2 * max_hops + 1:
-                new_occ = full_ring(occ)
-            else:
-                # Neighbor: parents are sorted, so this shard needs rows
-                # from owner shards within [d_min, d_max] hops of itself.
-                # The hop span is reduced globally (uniform predicate) so
-                # every shard takes the same branch; overflow frames run
-                # the exact full ring.
-                owner = parents // p_local
-                d = owner - idx
-                span = jax.lax.pmax(
-                    jnp.maximum(jnp.max(d), -jnp.min(d)), axis)
-
-                def neighbor(occ):
-                    out = jax.tree_util.tree_map(jnp.zeros_like, occ)
-                    out = pluck(out, occ, idx)
-                    for h in range(1, max_hops + 1):
-                        for s in (h, -h):
-                            # blk on shard i = shard (i+s) mod S's block
-                            perm = [((i + s) % n_shards, i)
-                                    for i in range(n_shards)]
-                            blk = jax.lax.ppermute(occ, axis, perm)
-                            out = pluck(out, blk, (idx + s) % n_shards)
-                    return out
-
-                new_occ = jax.lax.cond(span <= max_hops, neighbor,
-                                       full_ring, occ)
-
-            return (new_states, jnp.zeros_like(log_w), new_occ)
-
-        def no_resample(args):
-            return args
-
-        states, log_w, occ = jax.lax.cond(
-            kl > max_kl_divergence, do_resample, no_resample,
-            (states, log_w, occ))
-
-        # --- weighted mean state (psum-reduced)
-        # recompute normalizer after the potential resample
-        lse2, _, _, _ = _global_log_normalizers(log_w, axis)
+        # --- weighted mean state over all K objects (psum-reduced);
+        # recompute the normalizer after the potential resample
+        lse2, s2b, _, _ = _global_log_normalizers(log_w, axis)
         w = jnp.exp(log_w - lse2)
-        lin = jax.lax.psum(jnp.einsum("p,pkd->kd", w, states), axis)
-        q = states[..., 0, 3:7]
-        A = jax.lax.psum(jnp.einsum("p,pi,pj->ij", w, q, q), axis)
-        # principal eigenvector by power iteration (see se3.states_mean —
-        # eigh on a 4x4 is disproportionately slow under jit on TPU)
-        qm = A[:, 0] / jnp.maximum(jnp.linalg.norm(A[:, 0]), 1e-12)
-        for _ in range(12):
-            qm = A @ qm
-            qm = qm / jnp.maximum(jnp.linalg.norm(qm), 1e-20)
-        qm = qm * jnp.where(qm[0] < 0, -1.0, 1.0)
-        mean_state = jnp.concatenate(
-            [lin[0, :3], qm, lin[0, 7:13]], axis=-1)
+        mean_state = _psum_mean_state(states, w, axis)
+        return states, log_w, occ, key_next, mean_state, 1.0 / s2b
 
-        return states, log_w, occ, key_next[None], mean_state, ess
+    return step_one
+
+
+def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
+                          trans_params: TransitionParams, dt: float,
+                          max_kl_divergence: float = 1.0,
+                          axis: str = "p", exchange: str = "counts",
+                          max_hops: int = 1, capacity: int = None):
+    """Build a jitted multi-chip RBC-PF step (K objects per scene).
+
+    Returns step(belief_sharded, z_obs) → (belief_sharded, mean_state
+    (K, 13), ess). The observation ``z_obs`` is replicated; all
+    particle-axis leaves stay sharded in and out (the belief is donated).
+    Multi-object scenes run the reference's sequential coordinate blocks
+    (D17/P3) with per-block KL-triggered global resampling — semantics
+    identical to the single-device ``rbcpf_step``.
+
+    ``exchange`` picks how resampling fetches parent occlusion maps
+    across shards (the O(P·N_pix) movement — SURVEY.md hard part #2):
+
+      * ``"counts"`` (default): count-redistribution. Systematic parents
+        are globally sorted, so shard s's offspring draw from a narrow
+        contiguous parent range, and most offspring descend from few
+        distinct parents. Every shard recomputes every hop-neighbor's
+        parent list from the all_gather'd weights (P floats), compacts
+        the *distinct* rows that neighbor needs from it into a
+        ``capacity``-row surplus buffer, and ships only those buffers
+        (one ppermute per hop, ≤ ``max_hops`` each way). ICI traffic is
+        (2·max_hops+1)·capacity rows instead of the ring's S·L —
+        proportional to particles actually moved. Frames whose hop span
+        or distinct-parent count overflow fall back to the exact full
+        ring, so every mode equals the all_gather resampler bit-for-bit.
+      * ``"neighbor"``: bounded-hop whole-block exchange — (2H+1) block
+        ppermutes; kept for A/B comparison.
+      * ``"ring"``: S-step ppermute ring — peak memory O(2 local
+        blocks); the occlusion map never materializes unsharded.
+      * ``"all_gather"``: gather the full map then take (simplest;
+        bounded by per-chip HBM).
+
+    ``capacity`` (counts mode) is the surplus-buffer row count; rounded
+    up to a multiple of 128 (uniform lane stride for opaque kernel
+    layouts); default ``max(128, L/8)`` for L local particles.
+
+    Parent *states* are always fetched via all_gather — (P, K, 13)
+    floats is negligible. Works with any sensor, including the fused
+    Pallas sensor whose occlusion leaf lives in an opaque kernel layout
+    (hooks ``gather_occlusion``/``where_occlusion``/``concat_occlusion``).
+    """
+    inner = _make_step_local(loglik_fn, trans_params, dt,
+                             max_kl_divergence, axis, exchange,
+                             max_hops, capacity)
+
+    def step_local(states, log_w, occ, key, z_obs):
+        st, lw, occ2, k2, mean_state, ess = inner(states, log_w, occ,
+                                                  key[0], z_obs)
+        return st, lw, occ2, k2[None], mean_state, ess
 
     pspec = P(axis)
     rspec = P()
@@ -305,6 +495,118 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
 
 
 # ---------------------------------------------------------------------------
+# 2-D mesh: scenes on "host" (DCN), particles on "chip" (ICI)
+# ---------------------------------------------------------------------------
+
+def init_multi_scene_belief(key, initial_poses, num_scenes: int,
+                            num_particles: int, mesh: Mesh,
+                            num_pixels: int = None,
+                            initial_occlusion_prob=0.1, sensor=None,
+                            scene_axis: str = "host",
+                            particle_axis: str = "chip") -> ParticleBelief:
+    """Batched belief for S independent scenes on a 2-D mesh.
+
+    Leaves gain a leading scene axis: states (S, P, K, 13), log_weights
+    (S, P), occlusion (S, ...), key (S, 2). ``initial_poses`` may be
+    (7,) / (K, 7) (same start everywhere) or (S, K, 7).
+    """
+    from dbot_ros_tpu.filters.rbcpf import init_belief
+
+    n_p = mesh.shape[particle_axis]
+    n_s = mesh.shape[scene_axis]
+    if num_particles % n_p:
+        raise ValueError(f"num_particles {num_particles} not divisible "
+                         f"by particle axis size {n_p}")
+    if num_scenes % n_s:
+        raise ValueError(f"num_scenes {num_scenes} not divisible by "
+                         f"scene axis size {n_s}")
+    poses = jnp.asarray(initial_poses, jnp.float32)
+    if poses.ndim == 1:
+        poses = poses[None]
+    if poses.ndim == 2:
+        poses = jnp.broadcast_to(poses[None], (num_scenes,) + poses.shape)
+    keys = jax.random.split(key, num_scenes)
+
+    def one(k, p):
+        b = init_belief(k, p, num_particles, num_pixels or 0,
+                        initial_occlusion_prob)
+        if sensor is not None and hasattr(sensor, "init_occlusion"):
+            local = sensor.init_occlusion(num_particles // n_p,
+                                          initial_occlusion_prob)
+            occ = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate([x] * n_p, axis=0), local)
+            b = ParticleBelief(states=b.states,
+                               log_weights=b.log_weights,
+                               occlusion=occ, key=b.key)
+        return b
+
+    belief = jax.vmap(one)(keys, poses)
+    sp = NamedSharding(mesh, P(scene_axis, particle_axis))
+    ss = NamedSharding(mesh, P(scene_axis))
+    return ParticleBelief(
+        states=jax.device_put(belief.states, sp),
+        log_weights=jax.device_put(belief.log_weights, sp),
+        occlusion=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sp), belief.occlusion),
+        key=jax.device_put(belief.key, ss),
+    )
+
+
+def make_multi_scene_step(mesh: Mesh, loglik_fn: Callable,
+                          trans_params: TransitionParams, dt: float,
+                          max_kl_divergence: float = 1.0,
+                          scene_axis: str = "host",
+                          particle_axis: str = "chip",
+                          exchange: str = "counts", max_hops: int = 1,
+                          capacity: int = None):
+    """Multi-host/multi-scene step over ``Mesh((scene_axis, particle_axis))``.
+
+    Each scene runs the full distributed RBC-PF over the particle axis
+    (psum normalization, KL-triggered exchange resampling); the scene
+    axis carries **no collectives** — scenes are pure data parallelism,
+    so the step scales across hosts at DCN-insensitive efficiency (north
+    star #3). Runs unchanged under ``jax.distributed`` with the scene
+    axis spanning processes (tests/test_multihost.py).
+
+    Note: under the scene vmap the per-block resampling ``lax.cond``
+    linearizes to a select (both branches execute every frame) — the
+    exchange cost is paid unconditionally, but collective *order* stays
+    uniform across the particle axis, which is what correctness needs.
+
+    step(belief, z_obs) → (belief, mean_states (S, K, 13), ess (S,)),
+    where z_obs is (S, N) sharded over the scene axis.
+    """
+    inner = _make_step_local(loglik_fn, trans_params, dt,
+                             max_kl_divergence, particle_axis, exchange,
+                             max_hops, capacity)
+
+    def scenes_local(states, log_w, occ, keys, z_obs):
+        # leading axis = local scenes; collectives inside run over the
+        # particle axis only (vmap over a positional axis is transparent
+        # to named-axis collectives)
+        return jax.vmap(inner)(states, log_w, occ, keys, z_obs)
+
+    sp = P(scene_axis, particle_axis)
+    ss = P(scene_axis)
+    sharded = shard_map(
+        scenes_local, mesh=mesh,
+        in_specs=(sp, sp, sp, ss, ss),
+        out_specs=(sp, sp, sp, ss, ss, ss),
+        check_vma=False)
+
+    @jax.jit
+    def step(belief: ParticleBelief, z_obs):
+        states, log_w, occ, keys, mean_states, ess = sharded(
+            belief.states, belief.log_weights, belief.occlusion,
+            belief.key, z_obs)
+        return (ParticleBelief(states=states, log_weights=log_w,
+                               occlusion=occ, key=keys),
+                mean_states, ess)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # Island-model distributed PF: zero collectives on the common path
 # ---------------------------------------------------------------------------
 
@@ -315,19 +617,20 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
                      axis: str = "p"):
     """Island-model RBC-PF step (Vergé et al., "island particle filter").
 
-    The plain distributed step (make_distributed_step) pays an all_gather
-    of the particle state AND the occlusion map on every KL-triggered
-    resample — the O(P·N_pix) collective that SURVEY.md flags as hard
-    part #2. The island model removes it from the common path:
+    The plain distributed step (make_distributed_step) pays a collective
+    exchange of occlusion rows on every KL-triggered resample. The
+    island model removes it from the common path:
 
-      * each shard ("island") runs a complete local PF: local likelihoods,
-        local KL-triggered systematic resampling — **no communication**
-        (occlusion lineage gathers use the sensor's ``gather_occlusion``
-        hook, so the fused Pallas sensor's kernel-layout occlusion state
-        works unchanged inside shard_map);
+      * each shard ("island") runs a complete local PF: local
+        likelihoods, local KL-triggered systematic resampling per
+        coordinate block — **no communication** (occlusion lineage
+        gathers use the sensor's ``gather_occlusion`` hook, so the fused
+        Pallas sensor's kernel-layout occlusion state works unchanged
+        inside shard_map);
       * the island itself carries a log-weight ``b_i`` (its share of the
         global marginal likelihood), updated with the island's local
-        logsumexp increment each frame;
+        logsumexp increment each block (telescoping across coordinate
+        blocks);
       * only when the *island* weights degenerate (KL over n_islands
         exceeds ``island_max_kl``) are whole island blocks exchanged —
         a block-regular collective (all_gather + select of equal-size
@@ -337,64 +640,79 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
     Posterior queries (mean state, ESS) weight island-locally-normalized
     particles by the island weights via psum — exact, cheap.
 
-    Belief layout: identical to the plain step, plus the island log-weight
-    folded into ``log_weights`` (each shard's block carries its island
-    offset b_i/L added to every local log weight, so the global weight
-    vector remains exactly the importance weights of the full filter).
+    Belief layout: identical to the plain step, plus the island
+    log-weight folded into ``log_weights`` (each shard's block carries
+    its island offset added to every local log weight, so the global
+    weight vector remains exactly the importance weights of the full
+    filter).
     """
-    occ_gather, _ = _occ_hooks(loglik_fn)
+    occ_gather, _, _, _ = _occ_hooks(loglik_fn)
 
     def step_local(states, log_w, occ, key, z_obs):
         idx = jax.lax.axis_index(axis)
         n_islands = jax.lax.axis_size(axis)
         p_local = states.shape[0]
+        num_objects = states.shape[1]
 
         key_next, k_trans, k_res, k_isl = jax.random.split(key[0], 4)
         k_trans = jax.random.fold_in(k_trans, idx)
         k_res = jax.random.fold_in(k_res, idx)
 
-        # --- transition + likelihood (no comms)
-        new_block = sample_transition(k_trans, states[:, 0], dt,
-                                      trans_params)
-        states = states.at[:, 0].set(new_block)
-        loglik, occ_post = loglik_fn(states, occ, z_obs, dt)
-        occ = occ_post
-        log_w = log_w + loglik
+        # --- coordinate-block loop: transition + likelihood + local
+        # per-block resampling, no comms. The island's log-weight
+        # increment telescopes: b_acc = Σ_blocks logsumexp of the
+        # block-updated local weights (the incoming log_w of block 0
+        # still carries the island's global offset, so b_acc absorbs
+        # the island history exactly).
+        old_loglik = jnp.zeros_like(log_w)
+        b_acc = jnp.float32(0.0)
+        ln_local = log_w
+        for blk in range(num_objects):
+            k_b = jax.random.fold_in(k_trans, blk)
+            new_block = sample_transition(k_b, states[:, blk], dt,
+                                          trans_params)
+            states = states.at[:, blk].set(new_block)
+            loglik, occ_post = loglik_fn(states, occ, z_obs, dt)
+            if blk == num_objects - 1:
+                occ = occ_post
+            ln_local = ln_local + loglik - old_loglik
+            old_loglik = loglik
 
-        # --- island decomposition: b = local logsumexp, ln = local norm
-        m_loc = jnp.max(log_w)
-        b = m_loc + jnp.log(jnp.sum(jnp.exp(log_w - m_loc)))  # island lw
-        ln_local = log_w - b                                   # sums to 1
+            # island decomposition: b = local logsumexp, ln sums to 1
+            m_loc = jnp.max(ln_local)
+            b = m_loc + jnp.log(jnp.sum(jnp.exp(ln_local - m_loc)))
+            b_acc = b_acc + b
+            ln_local = ln_local - b
 
-        # --- local KL-triggered resampling (no comms)
-        kl_local = jnp.sum(
-            jnp.exp(ln_local) * jnp.where(jnp.exp(ln_local) > 0,
-                                          ln_local, 0.0)) \
-            + jnp.log(jnp.float32(p_local))
+            kl_local = jnp.sum(
+                jnp.exp(ln_local) * jnp.where(jnp.exp(ln_local) > 0,
+                                              ln_local, 0.0)) \
+                + jnp.log(jnp.float32(p_local))
 
-        def local_resample(args):
-            states, occ, ln_local = args
-            parents = jnp.clip(
-                rs.sorted_searchsorted_left(
-                    jnp.cumsum(jnp.exp(ln_local)),
-                    (jnp.arange(p_local, dtype=jnp.float32)
-                     + jax.random.uniform(k_res, ())) / p_local),
-                0, p_local - 1)
-            return (jnp.take(states, parents, axis=0),
-                    occ_gather(occ, parents),
-                    jnp.full((p_local,), -jnp.log(jnp.float32(p_local))))
+            def local_resample(args, _k=jax.random.fold_in(k_res, blk)):
+                states, occ, old_ll, ln_l = args
+                parents = jnp.clip(
+                    rs.sorted_searchsorted_left(
+                        jnp.cumsum(jnp.exp(ln_l)),
+                        (jnp.arange(p_local, dtype=jnp.float32)
+                         + jax.random.uniform(_k, ())) / p_local),
+                    0, p_local - 1)
+                return (jnp.take(states, parents, axis=0),
+                        occ_gather(occ, parents),
+                        jnp.take(old_ll, parents, axis=0),
+                        jnp.full((p_local,),
+                                 -jnp.log(jnp.float32(p_local))))
 
-        def no_local_resample(args):
-            return args
-
-        states, occ, ln_local = jax.lax.cond(
-            kl_local > max_kl_divergence, local_resample,
-            no_local_resample, (states, occ, ln_local))
+            states, occ, old_loglik, ln_local = jax.lax.cond(
+                kl_local > max_kl_divergence, local_resample,
+                lambda args: args,
+                (states, occ, old_loglik, ln_local))
 
         # --- island-level bookkeeping (scalar collectives only)
+        b = b_acc
         m_b = jax.lax.pmax(b, axis)
         sum_b = jax.lax.psum(jnp.exp(b - m_b), axis)
-        bn = b - (m_b + jnp.log(sum_b))                 # normalized island lw
+        bn = b - (m_b + jnp.log(sum_b))               # normalized island lw
         w_isl = jnp.exp(bn)
         kl_islands = jax.lax.psum(
             w_isl * jnp.where(w_isl > 0, bn, 0.0), axis) \
@@ -432,16 +750,7 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
         # --- posterior mean + ESS (psum reductions)
         lse2, s2, _, _ = _global_log_normalizers(log_w_out, axis)
         w = jnp.exp(log_w_out - lse2)
-        lin = jax.lax.psum(jnp.einsum("p,pkd->kd", w, states), axis)
-        q = states[..., 0, 3:7]
-        A = jax.lax.psum(jnp.einsum("p,pi,pj->ij", w, q, q), axis)
-        qm = A[:, 0] / jnp.maximum(jnp.linalg.norm(A[:, 0]), 1e-12)
-        for _ in range(10):
-            qm = A @ qm
-            qm = qm / jnp.maximum(jnp.linalg.norm(qm), 1e-20)
-        qm = qm * jnp.where(qm[0] < 0, -1.0, 1.0)
-        mean_state = jnp.concatenate([lin[0, :3], qm, lin[0, 7:13]],
-                                     axis=-1)
+        mean_state = _psum_mean_state(states, w, axis, power_iters=10)
         ess = 1.0 / s2
 
         return (states, log_w_out, occ, key_next[None], mean_state, ess)
