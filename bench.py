@@ -1,4 +1,5 @@
-"""Headline benchmark: particle-likelihood evaluations per second per chip.
+"""Headline benchmark: particle-likelihood evaluations per second per chip,
+plus the full RBC-PF filter-step latencies (north star #2).
 
 Measures the fused hot path of the flagship tracker — per-particle depth
 rendering + beam likelihood + Rao-Blackwellized occlusion update — at the
@@ -10,12 +11,17 @@ Baseline: the reference's GPU observation model sustains ~10k particles at
 likelihood evaluations/s (BASELINE.md row 2). vs_baseline is the ratio
 against that number.
 
+The extra ``full_step`` object certifies north star #2 mechanically
+(≥10k particles @ 30 Hz): rbcpf_step latency/Hz with resampling never /
+every-frame / KL-triggered (the production trigger).
+
 Prints exactly one JSON line.
 """
 
 import json
 import os
 import time
+import functools
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp"))
@@ -30,7 +36,8 @@ BASELINE_EVALS_PER_S = 10_000 * 4800 * 30.0
 
 
 def main():
-    from dbot_ros_tpu.models import beam, occlusion
+    from dbot_ros_tpu.filters import rbcpf
+    from dbot_ros_tpu.models import beam, occlusion, transition
     from dbot_ros_tpu.models.sensor import make_rb_sensor
     from dbot_ros_tpu.ops.raycast import raycast_depth
     from dbot_ros_tpu.utils import se3
@@ -44,6 +51,7 @@ def main():
 
     bp = beam.make_beam_params()
     op = occlusion.make_occlusion_params()
+    tp = transition.make_transition_params(0.1, 0.5, damping=4.0)
     sensor = make_rb_sensor(mesh, cam, bp, op, backend="pallas")
 
     key = jax.random.PRNGKey(0)
@@ -77,13 +85,33 @@ def main():
         ll, occ = step(states, occ, z_obs)
     ll.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
-
     evals_per_s = P * n_pix / dt
+
+    # --- north star #2: full filter-step latency (never / always / KL)
+    full_step = {}
+    for max_kl, tag in ((1e9, "never"), (-1.0, "always"), (1.0, "kl")):
+        belief = rbcpf.init_belief(jax.random.PRNGKey(0), ref, P,
+                                   n_pix, sensor=sensor)
+        fstep = jax.jit(functools.partial(
+            rbcpf.rbcpf_step, loglik_fn=sensor, trans_params=tp,
+            dt=1.0 / 30.0, max_kl_divergence=max_kl),
+            donate_argnums=(0,))
+        belief, info = fstep(belief, z_obs)
+        jax.block_until_ready(info.mean_state)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            belief, info = fstep(belief, z_obs)
+        jax.block_until_ready(info.mean_state)
+        ms = 1e3 * (time.perf_counter() - t0) / iters
+        full_step[tag] = {"ms": round(ms, 3), "hz": round(1e3 / ms, 1)}
+
     print(json.dumps({
         "metric": "particle_likelihood_evals_per_s_per_chip",
         "value": float(evals_per_s),
         "unit": "particle-pixel evals/s",
         "vs_baseline": float(evals_per_s / BASELINE_EVALS_PER_S),
+        "full_step": full_step,
+        "north_star_10k_30hz": full_step["kl"]["hz"] >= 30.0,
     }))
 
 

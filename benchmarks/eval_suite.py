@@ -1,0 +1,210 @@
+"""Honest evaluation harness: oracle-rendered stress sequences → RMSE.
+
+VERDICT r2 item 6. Every previous closed-loop number came from
+SyntheticSource, which renders ground truth with the *same* production
+raycaster the trackers use — an inverse crime. This suite instead renders
+with ``raycast_oracle`` (independent textbook derivation,
+ops/raycast.py:162) via runtime.sources.OracleSource and runs the papers'
+stress protocols (Wüthrich IROS-2013 / Issac ICRA-2016 experimental
+sections, SURVEY.md §6 accuracy row):
+
+  * nominal      — drift + gentle rotation;
+  * occluder     — an untracked bar sweeps across the object
+                   (the hand-held-object occlusion protocol);
+  * dropout      — a 50 % sensor-dropout burst mid-sequence;
+  * fast_rot     — 4.3 rad/s tumbling (≈ the papers' fast-motion case).
+
+Estimators: the particle tracker on all three sensor backends
+(xla / deferred / pallas) and the robust Gaussian filter (RGF), at
+reference-matched model parameters (config.py ObservationConfig mirrors
+the reference's YAML names/defaults; model_sigma tightened to the
+synthetic sensor's actual noise).
+
+Writes EVAL.md (+ eval_results.json) at the repo root.
+
+Run: python benchmarks/eval_suite.py [--quick]
+CPU-friendly (forces the CPU backend; pallas runs in interpret mode).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_scene():
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh, l_shape_mesh
+
+    K = np.array([[44.0, 0, 20], [0, 44.0, 15], [0, 0, 1.0]])
+    cam = make_camera(K, 30, 40)            # 40x30 = 1200 px
+    mesh = l_shape_mesh()                   # asymmetric -> rotation observable
+    occluder = box_mesh(0.03, 0.30, 0.02)   # vertical bar
+    return cam, mesh, occluder
+
+
+def trajectories(kind, start):
+    from dbot_ros_tpu.utils import se3
+
+    def pose_at(t):
+        if kind == "fast_rot":
+            ang = 0.145 * t                  # 4.3 rad/s at 30 Hz
+            axis = jnp.array([0.5, 0.8, 0.33])
+            axis = axis / jnp.linalg.norm(axis)
+            q = se3.so3_exp_quat(axis * ang)
+            p = start.at[0].add(0.001 * t)
+        else:
+            ang = 0.03 * t
+            q = se3.so3_exp_quat(jnp.array([0.0, ang, 0.0]))
+            p = start.at[0].add(0.0015 * t).at[1].add(
+                0.02 * np.sin(0.08 * t))
+        return jnp.concatenate(
+            [p[:3], se3.quat_multiply(q, start[3:7])])[None]
+
+    return pose_at
+
+
+def make_source(kind, cam, mesh, occluder, frames, seed=0):
+    from dbot_ros_tpu.runtime.sources import OracleSource
+    from dbot_ros_tpu.utils import se3
+
+    start = jnp.concatenate([jnp.array([0.0, 0.0, 0.55]),
+                             se3.quat_identity()])
+    traj = trajectories(kind, start)
+    kw = {}
+    if kind == "occluder":
+        # bar sweeps left->right across the object over frames 8..32,
+        # 10 cm in front of it
+        def occ_fn(t):
+            x = -0.14 + 0.012 * max(0, t - 8)
+            return np.array([x, 0.0, 0.45, 1, 0, 0, 0], np.float32)
+        kw = dict(occluder=occluder, occluder_fn=occ_fn)
+    elif kind == "dropout":
+        kw = dict(dropout_prob=0.5, dropout_frames=(12, 22))
+    return OracleSource(mesh, cam, traj, num_frames=frames,
+                        noise_sigma=0.003, seed=seed, **kw)
+
+
+def make_tracker(estimator, cam, mesh, particles):
+    from dbot_ros_tpu import config as cfg
+
+    obs = cfg.ObservationConfig(model_sigma=0.005, sigma_factor=0.0)
+    trans = cfg.TransitionConfig(linear_acceleration_sigma=0.4,
+                                 angular_acceleration_sigma=2.5,
+                                 damping=6.0)
+    if estimator == "rgf":
+        from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+        conf = cfg.GaussianTrackerConfig(observation=obs, transition=trans)
+        return GaussianTracker(conf, meshes=[mesh], camera=cam)
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+    backend = estimator.replace("pf-", "")
+    kw = {}
+    if backend == "pallas":
+        kw = dict()   # interpret mode auto-selected off-TPU
+    conf = cfg.ParticleTrackerConfig(
+        observation=obs, transition=trans, evaluation_count=particles,
+        max_kl_divergence=0.8, backend=backend, seed=1)
+    return ParticleTracker(conf, meshes=[mesh], camera=cam, **kw)
+
+
+SCENARIOS = ("nominal", "occluder", "dropout", "fast_rot")
+ESTIMATORS = ("pf-xla", "pf-deferred", "pf-pallas", "rgf")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer frames/particles (CI smoke)")
+    ap.add_argument("--estimators", default=",".join(ESTIMATORS))
+    ap.add_argument("--scenarios", default=",".join(SCENARIOS))
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "EVAL.md"))
+    args = ap.parse_args()
+
+    from dbot_ros_tpu.runtime import node
+
+    frames = 20 if args.quick else 45
+    particles = 192 if args.quick else 512
+    cam, mesh, occluder = build_scene()
+
+    results = {}
+    for scen in args.scenarios.split(","):
+        for est in args.estimators.split(","):
+            t0 = time.time()
+            tracker = make_tracker(est, cam, mesh, particles)
+            src = make_source(scen, cam, mesh, occluder, frames)
+            try:
+                run = node.run(tracker, src)
+                rec = {
+                    "pos_rmse_m": round(run.position_rmse(), 5),
+                    "rot_rmse_rad": round(run.rotation_rmse(), 4),
+                    # worst-case over the back half (post-burn-in): the
+                    # stress protocols hurt mid-sequence
+                    "pos_max_m": round(float(
+                        run.position_errors()[frames // 3:].max()), 5),
+                    "wall_s": round(time.time() - t0, 1),
+                }
+            except Exception as e:  # pragma: no cover - report, don't die
+                rec = {"error": f"{type(e).__name__}: {e}"}
+            results[f"{scen}/{est}"] = rec
+            print(f"{scen:9s} {est:12s} {json.dumps(rec)}", flush=True)
+
+    root = os.path.dirname(args.out)
+    with open(os.path.join(root, "eval_results.json"), "w") as fh:
+        json.dump({"frames": frames, "particles": particles,
+                   "results": results}, fh, indent=1)
+
+    scens = args.scenarios.split(",")
+    ests = args.estimators.split(",")
+    lines = [
+        "# EVAL — oracle-rendered stress-protocol accuracy",
+        "",
+        f"Generated by `benchmarks/eval_suite.py` "
+        f"({frames} frames, {particles} particles, 40×30 depth, "
+        "independent `raycast_oracle` renderer — no inverse crime; "
+        "see the module docstring for the protocols).",
+        "",
+        "Position RMSE (m) / rotation RMSE (rad) / worst post-burn-in "
+        "position error (m):",
+        "",
+        "| scenario | " + " | ".join(ests) + " |",
+        "|---|" + "---|" * len(ests),
+    ]
+    for scen in scens:
+        cells = []
+        for est in ests:
+            r = results.get(f"{scen}/{est}", {})
+            if "error" in r:
+                cells.append("ERR")
+            else:
+                cells.append(f"{r['pos_rmse_m']:.4f} / "
+                             f"{r['rot_rmse_rad']:.3f} / "
+                             f"{r['pos_max_m']:.4f}")
+        lines.append(f"| {scen} | " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "Reference anchor (BASELINE.md): ~1–2 cm translation, few-degree "
+        "rotation error on occluded hand-held sequences; RGF ≈ PF "
+        "accuracy. All trackers initialize from ground truth at frame 0 "
+        "(the reference's interactive-marker init).",
+        "",
+    ]
+    with open(args.out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,12 @@ def _trajectory_fn(kind: str, start_pose, num_objects: int):
         return p.at[:, 3:7].set(
             jax.vmap(se3.quat_multiply, in_axes=(None, 0))(dq, p[:, 3:7]))
 
-    return {"drift": drift, "circle": circle}[kind]
+    def teleport(t):
+        # induced tracking loss: the object jumps at frame 12 — the
+        # watchdog-recovery stress case (§5 failure-detection row)
+        return start.at[:, 0].add(jnp.where(t < 12, 0.001 * t, -0.12))
+
+    return {"drift": drift, "circle": circle, "teleport": teleport}[kind]
 
 
 def _summarize(run, label: str):
@@ -73,8 +78,17 @@ def _summarize(run, label: str):
     if run.ground_truth is not None:
         out["position_rmse_m"] = run.position_rmse()
         out["rotation_rmse_rad"] = run.rotation_rmse()
+    if run.reinit_frames:
+        out["watchdog_reinits"] = run.reinit_frames
     print(f"{label}: {json.dumps(out)}")
     return out
+
+
+def _make_watchdog(args):
+    if not getattr(args, "watchdog", False):
+        return None
+    from dbot_ros_tpu.runtime.watchdog import TrackingWatchdog
+    return TrackingWatchdog()
 
 
 def cmd_track(args):
@@ -109,7 +123,8 @@ def cmd_track(args):
         run = node.run(tracker, source, initial_pose=initial,
                        on_frame=publisher,
                        checkpoint_path=args.checkpoint,
-                       checkpoint_every=args.checkpoint_every)
+                       checkpoint_every=args.checkpoint_every,
+                       watchdog=_make_watchdog(args))
     finally:
         publisher.close()
     _summarize(run, "track")
@@ -131,7 +146,7 @@ def cmd_simulate(args):
                              num_frames=args.frames,
                              noise_sigma=args.noise_sigma,
                              dropout_prob=args.dropout, seed=args.seed)
-    run = node.run(tracker, source)
+    run = node.run(tracker, source, watchdog=_make_watchdog(args))
     out = _summarize(run, "simulate")
     if args.max_rmse is not None and out["position_rmse_m"] > args.max_rmse:
         print(f"FAIL: position RMSE {out['position_rmse_m']:.4f} > "
@@ -166,7 +181,8 @@ def cmd_record(args):
 
 def _add_sim_args(p):
     p.add_argument("--frames", type=int, default=60)
-    p.add_argument("--trajectory", choices=("drift", "circle"),
+    p.add_argument("--trajectory",
+                   choices=("drift", "circle", "teleport"),
                    default="drift")
     p.add_argument("--distance", type=float, default=0.8,
                    help="initial camera-frame z of the object(s)")
@@ -192,6 +208,9 @@ def main(argv=None):
     p_track.add_argument("--auto-init", action="store_true",
                          help="search the first frame for the initial pose "
                               "(replaces the RViz interactive marker)")
+    p_track.add_argument("--watchdog", action="store_true",
+                         help="tracking-loss auto-recovery (re-init via "
+                              "the 6-DoF search when divergence trips)")
     p_track.add_argument("--checkpoint", default=None)
     p_track.add_argument("--checkpoint-every", type=int, default=0)
     p_track.set_defaults(fn=cmd_track)
@@ -200,6 +219,8 @@ def main(argv=None):
                            help="closed-loop synthetic evaluation")
     p_sim.add_argument("--config", required=True)
     _add_sim_args(p_sim)
+    p_sim.add_argument("--watchdog", action="store_true",
+                       help="tracking-loss auto-recovery")
     p_sim.add_argument("--max-rmse", type=float, default=None,
                        help="exit 1 if position RMSE exceeds this")
     p_sim.set_defaults(fn=cmd_simulate)

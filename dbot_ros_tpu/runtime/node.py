@@ -32,6 +32,7 @@ class TrackRun:
     poses: np.ndarray            # (T, K, 7) estimated model-frame poses
     metrics: MetricsLog
     ground_truth: Optional[np.ndarray] = None   # (T, K, 7) if source had it
+    reinit_frames: List[int] = dataclasses.field(default_factory=list)
 
     def position_errors(self):
         if self.ground_truth is None:
@@ -59,7 +60,8 @@ class TrackRun:
 def run(tracker, source, initial_pose=None,
         on_frame: Optional[Callable] = None,
         checkpoint_path: Optional[str] = None,
-        checkpoint_every: int = 0) -> TrackRun:
+        checkpoint_every: int = 0,
+        watchdog=None) -> TrackRun:
     """Stream a source through a tracker.
 
     Args:
@@ -70,6 +72,13 @@ def run(tracker, source, initial_pose=None,
       on_frame: optional callback(frame, poses, info) — the publisher hook
         (ref R6 ObjectStatePublisher slot).
       checkpoint_path/_every: belief checkpointing (aux subsystem, §5).
+      watchdog: optional runtime.watchdog.TrackingWatchdog. Fed every
+        frame's StepInfo; when it trips (sustained divergence signature),
+        the tracker is re-initialized from the *current* frame via the
+        automatic 6-DoF search (runtime.initializer.initialize_tracker) —
+        the closed-loop failure-recovery path the reference delegates to
+        a human re-running the RViz marker (SURVEY.md §5 failure row).
+        Tripped frame indices land in TrackRun.reinit_frames.
     """
     frames = iter(source)
     first = next(frames)
@@ -90,7 +99,10 @@ def run(tracker, source, initial_pose=None,
 
     poses_out: List[np.ndarray] = []
     gt_out: List[np.ndarray] = []
+    reinit_frames: List[int] = []
     log = MetricsLog()
+    num_particles = getattr(getattr(tracker, "config", None),
+                            "evaluation_count", None)
 
     def handle(frame):
         t0 = time.perf_counter()
@@ -106,6 +118,11 @@ def run(tracker, source, initial_pose=None,
         log.append(FrameMetrics.from_info(frame.index, info, latency))
         if on_frame is not None:
             on_frame(frame, poses, info)
+        if watchdog is not None and watchdog.update(info, num_particles):
+            # tracking lost: global re-acquisition on the current frame
+            from dbot_ros_tpu.runtime.initializer import initialize_tracker
+            initialize_tracker(tracker, frame.depth)
+            reinit_frames.append(frame.index)
         if checkpoint_path and checkpoint_every \
                 and (frame.index + 1) % checkpoint_every == 0:
             from dbot_ros_tpu.runtime.checkpoint import save_belief
@@ -119,4 +136,5 @@ def run(tracker, source, initial_pose=None,
         poses=np.stack(poses_out),
         metrics=log,
         ground_truth=np.stack(gt_out) if gt_out and
-        len(gt_out) == len(poses_out) else None)
+        len(gt_out) == len(poses_out) else None,
+        reinit_frames=reinit_frames)

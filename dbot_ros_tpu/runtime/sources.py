@@ -72,6 +72,90 @@ def record_npz(path: str, depth_stack, poses=None):
     np.savez_compressed(path, **arrays)
 
 
+class OracleSource:
+    """Independent-renderer evaluation source (no inverse crime).
+
+    Like :class:`SyntheticSource` but renders through
+    ``ops.raycast.raycast_oracle`` — an independently-derived textbook
+    Möller–Trumbore path that shares no code with the production
+    raycaster/kernels the trackers use — so closed-loop RMSE numbers
+    measure the tracker against *external* geometry, the way the
+    reference is validated against recorded sequences (SURVEY.md §4
+    system tier). Adds the papers' stress protocols:
+
+      * ``occluder`` + ``occluder_fn(t) → (7,)``: an untracked occluder
+        mesh rendered in front of the scene (min-combined) — the
+        moving-occluder sweep of Wüthrich 2013 / Issac 2016;
+      * ``dropout_frames=(a, b)``: ``dropout_prob`` applies only inside
+        the frame window — sensor-dropout bursts;
+      * ``noise_sigma``: Gaussian depth noise.
+
+    The occluder is NOT part of the ground truth — the tracked objects'
+    poses are returned unchanged; the latent occlusion chain has to
+    absorb it.
+    """
+
+    def __init__(self, meshes, camera: CameraModel, trajectory_fn,
+                 num_frames: int, noise_sigma: float = 0.003,
+                 background_depth: float = 2.0, seed: int = 0,
+                 occluder: TriangleMesh = None, occluder_fn=None,
+                 dropout_prob: float = 0.0, dropout_frames=None):
+        from dbot_ros_tpu.ops.raycast import raycast_oracle
+        from dbot_ros_tpu.trackers.base import to_center_frame
+
+        if isinstance(meshes, TriangleMesh):
+            meshes = [meshes]
+        self.meshes = list(meshes)
+        self.camera = camera
+        self.trajectory_fn = trajectory_fn
+        self.num_frames = num_frames
+        self.key = jax.random.PRNGKey(seed)
+        self.occluder = occluder
+        self.occluder_fn = occluder_fn
+        self.dropout_prob = dropout_prob
+        self.dropout_frames = dropout_frames
+
+        def render(poses_model, occ_pose, dropout_p, key):
+            depth = None
+            for k, mesh in enumerate(self.meshes):
+                pc = to_center_frame(poses_model[k], mesh.center)
+                d = raycast_oracle(mesh, pc, camera.rays)
+                depth = d if depth is None else jnp.minimum(depth, d)
+            if occluder is not None:
+                d = raycast_oracle(occluder, occ_pose, camera.rays)
+                depth = jnp.minimum(depth, d)
+            z = jnp.where(jnp.isfinite(depth), depth,
+                          jnp.float32(background_depth))
+            k1, k2 = jax.random.split(key)
+            if noise_sigma > 0:
+                z = z + noise_sigma * jax.random.normal(k1, z.shape)
+            drop = jax.random.bernoulli(k2, dropout_p, z.shape)
+            return jnp.where(drop, jnp.nan, z)
+
+        self._render = jax.jit(render)
+
+    def __len__(self):
+        return self.num_frames
+
+    def __iter__(self) -> Iterator[Frame]:
+        idq = np.array([1.0, 0, 0, 0], np.float32)
+        far = jnp.concatenate(
+            [jnp.array([0.0, 0.0, -10.0]), jnp.asarray(idq)])
+        for t in range(self.num_frames):
+            poses = jnp.asarray(self.trajectory_fn(t), jnp.float32)
+            if poses.ndim == 1:
+                poses = poses[None]
+            occ_pose = (jnp.asarray(self.occluder_fn(t), jnp.float32)
+                        if self.occluder_fn is not None else far)
+            p_drop = self.dropout_prob
+            if self.dropout_frames is not None:
+                a, b = self.dropout_frames
+                p_drop = p_drop if a <= t < b else 0.0
+            self.key, k = jax.random.split(self.key)
+            z = self._render(poses, occ_pose, jnp.float32(p_drop), k)
+            yield Frame(t, np.asarray(z), np.asarray(poses))
+
+
 class SyntheticSource:
     """Render a scripted ground-truth trajectory into noisy depth frames.
 

@@ -29,19 +29,40 @@ class WatchdogConfig:
     beta_min: float = 0.05              # GF inlier-rate floor
     patience: int = 3                   # consecutive bad frames to trip
     ema_rate: float = 0.05              # baseline tracking rate
+    warmup: int = 3                     # grace frames after start/re-init
 
 
 class TrackingWatchdog:
-    """Feed per-frame (info, num_particles) → returns True when tripped."""
+    """Feed per-frame (info, num_particles) → returns True when tripped.
+
+    The first ``warmup`` frames after construction, :meth:`reset`, or a
+    trip are a grace window: the filter is still diversifying from a
+    point init (ESS transients) or re-converging after recovery, so the
+    divergence signatures are expected and must not re-trip the dog.
+    """
 
     def __init__(self, config: Optional[WatchdogConfig] = None):
         self.config = config or WatchdogConfig()
         self._loglik_ema: Optional[float] = None
         self._bad_streak = 0
+        self._frames = 0
         self.trip_count = 0
+
+    def reset(self):
+        """Back to the post-init state (call after an external re-init)."""
+        self._loglik_ema = None
+        self._bad_streak = 0
+        self._frames = 0
 
     def update(self, info, num_particles: Optional[int] = None) -> bool:
         c = self.config
+        self._frames += 1
+        if self._frames <= c.warmup:
+            # track the baseline during warmup, never trip
+            ll = getattr(info, "mean_loglik", None)
+            if ll is not None:
+                self._loglik_ema = float(ll)
+            return False
         bad = False
 
         ess = getattr(info, "ess", None)
@@ -70,8 +91,7 @@ class TrackingWatchdog:
             self._bad_streak = 0
 
         if self._bad_streak >= c.patience:
-            self._bad_streak = 0
-            self._loglik_ema = None
+            self.reset()
             self.trip_count += 1
             return True
         return False

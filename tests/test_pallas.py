@@ -383,3 +383,51 @@ def test_fused_backend_tracking():
                                   noise_sigma=0.003, seed=5)
     result = node.run(tracker, src)
     assert result.position_rmse() < 0.02, result.position_rmse()
+
+
+def test_scatter_pixel_rows_kernel():
+    """The in-place DMA row scatter: selected pixels' tiles replaced,
+    everything else untouched (incl. pr not divisible by 8)."""
+    from dbot_ros_tpu.ops.raycast_pallas import scatter_pixel_rows
+
+    for pr in (3, 8):
+        n_pix = 10
+        q = jnp.arange(n_pix * pr * 128, dtype=jnp.float32).reshape(
+            n_pix * pr, 128)
+        vals = -(1.0 + jnp.arange(4 * pr * 128,
+                                  dtype=jnp.float32)).reshape(4 * pr, 128)
+        sel = jnp.array([7, 0, 3, 9], dtype=jnp.int32)
+        out = np.asarray(jax.jit(
+            lambda q, v, s: scatter_pixel_rows(q, v, s, pr,
+                                               interpret=True))(
+            q, vals, sel))
+        exp = np.asarray(q).copy()
+        for j, s in enumerate([7, 0, 3, 9]):
+            exp[s * pr:(s + 1) * pr] = np.asarray(vals)[j * pr:(j + 1) * pr]
+        np.testing.assert_array_equal(out, exp)
+
+
+def test_merge_modes_equivalent():
+    """merge="scatter" (in-place DMA) and merge="select" (full-map
+    take+where) are alternative implementations of the same compacted
+    merge — identical loglik and occlusion state."""
+    from dbot_ros_tpu.ops.raycast_pallas import make_fused_sensor
+
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=64)
+    states = jnp.zeros((64, 1, 13), jnp.float32).at[:, 0, :7].set(poses)
+    outs = {}
+    for merge in ("scatter", "select"):
+        sensor = make_fused_sensor(mesh, cam, bp, op, nb=32,
+                                   interpret=True, merge=merge)
+        occ = sensor.init_occlusion(64, 0.15)
+        ll, occ1 = sensor(states, occ, z_obs, 1.0 / 30.0)
+        ll2, occ2 = sensor(states, occ1, z_obs, 1.0 / 30.0)
+        outs[merge] = (ll, ll2, occ2)
+    np.testing.assert_allclose(np.asarray(outs["scatter"][0]),
+                               np.asarray(outs["select"][0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["scatter"][1]),
+                               np.asarray(outs["select"][1]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["scatter"][2]),
+                    jax.tree_util.tree_leaves(outs["select"][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7)

@@ -15,7 +15,7 @@ class FakeInfo:
 
 
 def test_watchdog_trips_on_sustained_ess_collapse():
-    wd = TrackingWatchdog(WatchdogConfig(patience=3))
+    wd = TrackingWatchdog(WatchdogConfig(patience=3, warmup=0))
     for i in range(2):
         assert not wd.update(FakeInfo(ess=1.0), num_particles=1000)
     assert wd.update(FakeInfo(ess=1.0), num_particles=1000)
@@ -30,7 +30,7 @@ def test_watchdog_does_not_trip_on_healthy_stream():
 
 
 def test_watchdog_trips_on_loglik_drop():
-    wd = TrackingWatchdog(WatchdogConfig(patience=2))
+    wd = TrackingWatchdog(WatchdogConfig(patience=2, warmup=0))
     for i in range(10):
         wd.update(FakeInfo(mean_loglik=-100.0))
     assert not wd.update(FakeInfo(mean_loglik=-130.0))
@@ -38,7 +38,7 @@ def test_watchdog_trips_on_loglik_drop():
 
 
 def test_watchdog_resets_streak_on_recovery():
-    wd = TrackingWatchdog(WatchdogConfig(patience=3))
+    wd = TrackingWatchdog(WatchdogConfig(patience=3, warmup=0))
     wd.update(FakeInfo(ess=1.0), num_particles=1000)
     wd.update(FakeInfo(ess=1.0), num_particles=1000)
     wd.update(FakeInfo(ess=900.0), num_particles=1000)  # healthy
@@ -46,7 +46,7 @@ def test_watchdog_resets_streak_on_recovery():
 
 
 def test_watchdog_beta_floor():
-    wd = TrackingWatchdog(WatchdogConfig(patience=1))
+    wd = TrackingWatchdog(WatchdogConfig(patience=1, warmup=0))
     assert wd.update(FakeInfo(mean_beta=0.01))
 
 
@@ -96,3 +96,49 @@ def test_reinit_recovers_lost_track():
         poses, info = tracker.track(frame(pose_b))
     err = np.linalg.norm(np.asarray(poses)[0, :3] - pose_b[:3])
     assert err < 0.02, err
+
+
+def test_watchdog_closed_loop_auto_recovery():
+    """VERDICT r2 item 7: the watchdog wired into node.run must TRIP on an
+    induced tracking loss (ground-truth teleport), re-initialize via the
+    automatic 6-DoF search (initializer.initialize_tracker), and
+    re-acquire within a few frames — no human in the loop."""
+    import jax.numpy as jnp
+
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.runtime import node
+    from dbot_ros_tpu.runtime.cli import _trajectory_fn
+    from dbot_ros_tpu.runtime.sources import SyntheticSource
+    from dbot_ros_tpu.runtime.watchdog import TrackingWatchdog, \
+        WatchdogConfig
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh
+    from dbot_ros_tpu.utils import se3
+
+    K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    config = cfg.ParticleTrackerConfig(
+        evaluation_count=128, max_kl_divergence=0.8,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(0.4, 1.5, damping=8.0), seed=0)
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+
+    start = jnp.concatenate([jnp.array([0.03, 0.02, 0.6]),
+                             se3.quat_identity()])
+    traj = _trajectory_fn("teleport", start, 1)
+    source = SyntheticSource([mesh], cam, traj, num_frames=26,
+                             noise_sigma=0.002, seed=5)
+    wd = TrackingWatchdog(WatchdogConfig(patience=2))
+    run = node.run(tracker, source, watchdog=wd)
+
+    assert run.reinit_frames, "watchdog never tripped"
+    assert min(run.reinit_frames) >= 12, run.reinit_frames
+    # after recovery the tracker must re-acquire the teleported pose
+    errs = run.position_errors()
+    assert errs[11, 0] < 0.02            # tracked before the jump
+    # genuinely lost when the jump lands (pose recorded pre-recovery)
+    assert errs[12:15, 0].max() > 0.05, errs[11:16, 0]
+    assert errs[-1, 0] < 0.025, errs[-3:, 0]  # re-acquired by the end
