@@ -105,7 +105,12 @@ def make_tracker(estimator, cam, mesh, particles):
                                  damping=6.0)
     if estimator == "rgf":
         from dbot_ros_tpu.trackers.gaussian import GaussianTracker
-        conf = cfg.GaussianTrackerConfig(observation=obs, transition=trans)
+        # at this eval's small pixel budget (1200 px) the RGF needs more
+        # iterated-update convergence and a looser per-pixel trust clamp
+        # (measured: rot RMSE 0.55 → 0.13 rad on nominal)
+        conf = cfg.GaussianTrackerConfig(observation=obs, transition=trans,
+                                         update_iterations=6,
+                                         trust_sigma=2.0)
         return GaussianTracker(conf, meshes=[mesh], camera=cam)
     from dbot_ros_tpu.trackers.particle import ParticleTracker
     backend = estimator.replace("pf-", "")

@@ -1,8 +1,13 @@
 """North-star #2 benchmark: full RBC-PF filter step latency on one chip.
 
 Target (BASELINE.md): >= 10k particles at 30 Hz (33.3 ms/frame).
-Measured on TPU v5e (2026-08): never-resample 17.7 ms (56 Hz),
-resample-every-frame 22.4 ms (44.7 Hz) - both beat the target.
+Latency history on TPU v5e (never-resample / always-resample, ms —
+full trail in docs/DESIGN.md):
+  17.7 / 22.4  round 1 baseline
+   5.33 / 8.86 round 2 (cached pack matmul, tight ladder, where-select)
+   3.66 / 6.62 round 3 session 19 (blocked-rank searchsorted landed)
+   →  see benchmarks/session20.log for the in-place-merge numbers.
+bench.py now also emits these (full_step field) on every driver run.
 
 Run on TPU hardware: python benchmarks/northstar_latency.py
 (compiles take several minutes through a tunnel; run detached).

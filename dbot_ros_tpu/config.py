@@ -96,8 +96,10 @@ class GaussianTrackerConfig:
         default_factory=TransitionConfig)
     update_iterations: int = 3
     # Evaluate the update on every s-th pixel (ICRA-2016 §experiments uses
-    # sparse pixel subsets; 1 = all pixels). Applied on the flattened
-    # (downsampled) pixel grid; background/renders follow the same subset.
+    # sparse pixel subsets; 1 = all pixels; <= 0 = auto degrade-to-budget
+    # via ops/budget.rgf_pixel_stride — the GF analog of the reference's
+    # BufferConfiguration D14). Applied on the flattened (downsampled)
+    # pixel grid; background/renders follow the same subset.
     pixel_stride: int = 1
     trust_sigma: float = 1.0
     lin_floor_pos: float = 0.008

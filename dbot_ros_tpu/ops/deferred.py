@@ -203,15 +203,10 @@ def make_deferred_renderer(mesh: TriangleMesh, rays, height: int,
     coarser than a pixel, coverage-restoring for sub-pixel faces. Pass
     ``bary_slack=0.0`` for the exact inside-test (oracle-parity tests).
     """
-    # Horizontal pixel pitch of the z=1 rays is exactly 1/fx (camera.py).
-    rr = np.asarray(rays).reshape(height, width, 3)
-    pitch = float(np.median(np.abs(np.diff(rr[..., 0], axis=1))))
-    e1 = np.asarray(mesh.tri_e1[:mesh.num_triangles])
-    e2 = np.asarray(mesh.tri_e2[:mesh.num_triangles])
-    ln = np.concatenate([np.linalg.norm(e1, axis=1),
-                         np.linalg.norm(e2, axis=1)])
-    ln = ln[ln > 0]
-    med_edge = max(float(np.median(ln)) if ln.size else 1.0, 1e-6)
+    from dbot_ros_tpu.ops import slack as slack_mod
+
+    pitch = slack_mod.ray_pitch(rays, height, width)   # == 1/fx
+    med_edge = slack_mod.median_edge([mesh])
 
     def render(reference_pose, poses):
         _, ids = raycast_ids(mesh, reference_pose, rays, tri_chunk)
@@ -220,9 +215,11 @@ def make_deferred_renderer(mesh: TriangleMesh, rays, height: int,
         if bary_slack is not None:
             slack = jnp.float32(bary_slack)
         else:
-            zbar = jnp.mean(poses[..., 2])
-            slack = jnp.clip(bary_slack_px * pitch * zbar / med_edge,
-                             0.0, 4.0)
+            # shared rule with the fused sensor (ops/slack.py) so both
+            # backends apply identical slack for the same scene
+            zbar = slack_mod.cloud_depth(poses[..., 2])
+            slack = slack_mod.auto_bary_slack(zbar, pitch, med_edge,
+                                              bary_slack_px)
         return deferred_depth(mesh, poses, rays, sel,
                               bary_slack=slack)
 

@@ -616,17 +616,9 @@ class FusedSensor:
         # auto rule when not None; 0.0 = exact inside-test.
         self.bary_slack = None if bary_slack is None else float(bary_slack)
         self.bary_slack_px = float(bary_slack_px)
-        edges = []
-        for m in self.meshes:
-            e1 = np.asarray(m.tri_e1[:m.num_triangles])
-            e2 = np.asarray(m.tri_e2[:m.num_triangles])
-            ln = np.concatenate([np.linalg.norm(e1, axis=1),
-                                 np.linalg.norm(e2, axis=1)])
-            ln = ln[ln > 0]
-            edges.append(float(np.median(ln)) if ln.size else 1.0)
-        # finest mesh drives the slack (largest need); coarser meshes get
-        # proportionally less benefit but stay pixel-bounded
-        self._min_median_edge = max(min(edges), 1e-6)
+        # shared auto-slack rule with the deferred backend (ops/slack.py)
+        from dbot_ros_tpu.ops import slack as slack_mod
+        self._min_median_edge = slack_mod.median_edge(self.meshes)
         self._fx = float(jnp.asarray(camera.camera_matrix)[0, 0])
         # Lazy per-pixel occlusion aging (the occlusion leaf becomes a
         # (q, age) tuple; see __call__). Requires g >= 0 so the closed
@@ -865,11 +857,12 @@ class FusedSensor:
             slack = jnp.float32(self.bary_slack)
         else:
             # auto: bary_slack_px pixels of footprint at the cloud's
-            # depth, in barycentric units of the finest mesh
-            zbar = jnp.max(jnp.mean(states[..., 2], axis=0))
-            slack = jnp.clip(
-                self.bary_slack_px * (zbar / self._fx)
-                / self._min_median_edge, 0.0, 4.0)
+            # depth, in barycentric units of the finest mesh — the rule
+            # shared with the deferred backend (ops/slack.py)
+            from dbot_ros_tpu.ops import slack as slack_mod
+            slack = slack_mod.auto_bary_slack(
+                slack_mod.cloud_depth(states[..., 2]), 1.0 / self._fx,
+                self._min_median_edge, self.bary_slack_px)
         params_vec = make_params_vec(self.bp, self.op, dtf, slack)
         N = z_obs.shape[0]
         n_pad = _round_up(N, self.nb)

@@ -55,7 +55,17 @@ class GaussianTracker:
             tr.damping)
 
         # Sparse-pixel sensor subset (static → jit-friendly gathers).
-        stride = max(int(config.pixel_stride), 1)
+        # pixel_stride <= 0 → auto degrade-to-budget (ref D14 analog,
+        # ops/budget.rgf_pixel_stride): keeps the sigma-point raycast
+        # bounded as K objects / full-resolution pixels grow.
+        stride = int(config.pixel_stride)
+        if stride <= 0:
+            from dbot_ros_tpu.ops.budget import rgf_pixel_stride
+            stride = rgf_pixel_stride(
+                self.camera.num_pixels,
+                max(m.padded_triangles for m in self.meshes),
+                self.num_objects, config.update_iterations)
+        stride = max(stride, 1)
         self._pixel_idx = (None if stride == 1 else
                            jnp.arange(0, self.camera.num_pixels, stride))
         rays = (self.camera.rays if self._pixel_idx is None

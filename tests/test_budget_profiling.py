@@ -44,3 +44,29 @@ def test_stopwatch_and_measure(capsys):
     pv("v", 3)
     text = capsys.readouterr().out
     assert "toy:" in text and "ctx:" in text and "v: 3" in text
+
+
+def test_rgf_pixel_stride_degrade():
+    """GF degrade-to-fit (ref D14 analog): stride grows with work, 1 for
+    small problems, capped; GaussianTracker honors pixel_stride=0=auto."""
+    from dbot_ros_tpu.ops.budget import rgf_pixel_stride
+
+    assert rgf_pixel_stride(400, 128) == 1
+    s1 = rgf_pixel_stride(4800, 1408)
+    s3 = rgf_pixel_stride(4800, 1408, num_objects=3)
+    assert s1 > 1 and s3 >= s1
+    assert rgf_pixel_stride(4800 * 64, 4096 * 16) <= 64  # capped
+
+    import numpy as np
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh
+
+    K = np.array([[48.0, 0, 16], [0, 48.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    conf = cfg.GaussianTrackerConfig(pixel_stride=0)
+    tr = GaussianTracker(conf, meshes=[box_mesh(0.06, 0.05, 0.04)],
+                         camera=cam)
+    # tiny problem → auto keeps every pixel
+    assert tr._pixel_idx is None

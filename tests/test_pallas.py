@@ -346,8 +346,12 @@ def test_bary_slack_fixes_displaced_pose_scoring():
     states = states.at[1, 0, :7].set(pose0)  # particle 1 = stale
 
     def loglik(slack):
+        # radius/num_candidates pinned (advisor r2): the slack=0 failure
+        # reproduction below documents THIS geometry — improving the
+        # candidate defaults must not fail the regression guard
         sensor = make_fused_sensor(mesh, cam, bp, op, interpret=True,
-                                   bary_slack=slack)
+                                   bary_slack=slack, num_candidates=2,
+                                   radius=2)
         occ = sensor.init_occlusion(P, 0.1)
         ll, _ = sensor(states, occ, z_obs, 1.0 / 30.0)
         return np.asarray(ll)
