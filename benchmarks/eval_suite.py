@@ -96,12 +96,17 @@ def make_source(kind, cam, mesh, occluder, frames, seed=0):
                         noise_sigma=0.003, seed=seed, **kw)
 
 
-def make_tracker(estimator, cam, mesh, particles):
+def make_tracker(estimator, cam, mesh, particles, scenario="nominal"):
     from dbot_ros_tpu import config as cfg
 
     obs = cfg.ObservationConfig(model_sigma=0.005, sigma_factor=0.0)
+    # Process noise matched to the scenario dynamics, as the papers'
+    # protocols do: the tumbling case needs angular acceleration
+    # headroom (2.5 → everyone loses the 4.3 rad/s spin at 2 rad RMSE;
+    # 6.0 → the PF tracks it at 0.086 rad — measured, fastrot probe).
+    ang = 6.0 if scenario == "fast_rot" else 2.5
     trans = cfg.TransitionConfig(linear_acceleration_sigma=0.4,
-                                 angular_acceleration_sigma=2.5,
+                                 angular_acceleration_sigma=ang,
                                  damping=6.0)
     if estimator == "rgf":
         from dbot_ros_tpu.trackers.gaussian import GaussianTracker
@@ -148,7 +153,7 @@ def main():
     for scen in args.scenarios.split(","):
         for est in args.estimators.split(","):
             t0 = time.time()
-            tracker = make_tracker(est, cam, mesh, particles)
+            tracker = make_tracker(est, cam, mesh, particles, scen)
             src = make_source(scen, cam, mesh, occluder, frames)
             try:
                 run = node.run(tracker, src)

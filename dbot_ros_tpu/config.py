@@ -81,6 +81,10 @@ class ParticleTrackerConfig:
     max_kl_divergence: float = 1.0
     moving_average_update_rate: float = 1.0  # 1.0 = no smoothing
     backend: str = "xla"               # ref `use_gpu` CPU/GPU switch
+    # extra kwargs for the sensor backend factory (e.g. the pallas
+    # sensor's num_candidates/radius/nb/levels — ref: the GPU builder's
+    # BufferConfiguration knobs, D14/D21)
+    backend_options: dict = dataclasses.field(default_factory=dict)
     seed: int = 0
 
 

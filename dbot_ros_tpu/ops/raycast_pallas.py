@@ -59,6 +59,24 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _particle_pads(num_particles: int):
+    """(p_pad, pr): the particle axis pads to 128 lanes × pr row-groups.
+
+    MEASURED NEGATIVE RESULT (v5e session 21): additionally rounding pr
+    to a multiple of 8 — so flat ↔ (n_pad, pr, 128) reshapes become
+    bitcasts and the "grouped" lineage gather avoids XLA's
+    transpose→gather→transpose lowering — cost 0.9 ms/frame in the
+    KERNEL (2.46 → 3.36 ms sensor-only; the extra pad group is not the
+    linear +1.3 %), and the grouped gather's nested span-ladder conds
+    re-introduced the cond-boundary copies it was meant to remove
+    (always-resample 5.93 → 6.65 ms). Both stay available
+    (lineage_gather="grouped") but the default layout pads to the
+    natural 128-lane multiple only.
+    """
+    pr = _round_up(num_particles, 128) // 128
+    return pr * 128, pr
+
+
 # ---------------------------------------------------------------------------
 # XLA pre-pass: pack per-particle constants into per-triangle slabs
 # ---------------------------------------------------------------------------
@@ -320,18 +338,83 @@ def occ_to_kernel(occ_pn, nb: int = 64):
     vs 16 ms per step at the 10k-particle north star).
     """
     P, N = occ_pn.shape
-    p_pad = _round_up(P, 128)
+    p_pad, pr = _particle_pads(P)
     n_pad = _round_up(N, nb)
     o = jnp.pad(occ_pn.T, ((0, n_pad - N), (0, p_pad - P)))
-    return o.reshape(n_pad * (p_pad // 128), 128)
+    return o.reshape(n_pad * pr, 128)
 
 
 def occ_from_kernel(occ_k, num_pixels: int, num_particles: int,
                     nb: int = 64):
     """Inverse of :func:`occ_to_kernel` (diagnostics / checkpointing)."""
-    p_pad = _round_up(num_particles, 128)
-    n_pad = occ_k.shape[0] // (p_pad // 128)
+    p_pad, pr = _particle_pads(num_particles)
+    n_pad = occ_k.shape[0] // pr
     return occ_k.reshape(n_pad, p_pad)[:num_pixels, :num_particles].T
+
+
+def grouped_lane_gather(q, idx, n_pad: int, pr: int):
+    """``out[n, p'] = q[n, idx[p']]`` on the flat kernel layout.
+
+    XLA lowers a minor-axis ``take`` on the (n_pad, p_pad) view to
+    transpose → gather → transpose — with the two view reshapes that is
+    FIVE full-map passes plus a cond-boundary copy (3.6 ms traced at the
+    10k north star, session 20). Systematic-resampling parents are
+    *sorted*, so each 128-lane output group draws from few consecutive
+    source row-groups:
+
+      * span 1 (the degenerate/ESS-collapse regime — every resample at
+        the tracked-object operating point): ONE native row gather
+        (rows move intact, no relayout; with ``pr`` a multiple of 8 the
+        (n_pad, pr, 128) view is a bitcast of the flat layout —
+        :func:`_particle_pads`) + one batched one-hot MXU contraction
+        for the intra-group lane permutation ≈ 4 map passes → ~1.6 ms;
+      * span ≤ 2 (near-uniform weights): two-group variant;
+      * larger spans (scattered weight clusters): exact fallback to the
+        take path.
+
+    Exact for any ``idx`` (ladder predicates are data-dependent scalars;
+    every branch computes the same permutation). ``q`` must be
+    all-finite — a NaN anywhere poisons the one-hot contraction
+    (occlusion maps are [0, 1]; padding rows are written finite by the
+    kernel).
+    """
+    gb = (idx // 128).reshape(pr, 128)
+    lane = (idx % 128).reshape(pr, 128)
+    glo = jnp.min(gb, axis=1)
+    span = jnp.max(gb - glo[:, None]) + 1
+    l_ar = jnp.arange(128, dtype=jnp.int32)
+
+    def make_grouped(G):
+        def grouped(q):
+            base = jnp.arange(n_pad, dtype=jnp.int32)[:, None, None] * pr
+            k_ar = jnp.arange(G, dtype=jnp.int32)
+            gidx = jnp.minimum(glo[None, :, None]
+                               + k_ar[None, None, :], pr - 1)
+            rows = (base + gidx).reshape(-1)
+            A = jnp.take(q, rows, axis=0, mode="clip").reshape(
+                n_pad, pr, G, 128)
+            # E[k, r, l, m] = 1 iff output lane (r, m)'s parent is
+            # source lane (glo[r]+k, l); clamped duplicate rows get a
+            # zero column, so they contribute nothing.
+            hitg = gb[None] == glo[None, :, None] + k_ar[:, None, None]
+            E = (hitg[:, :, None, :]
+                 & (lane[None, :, None, :] == l_ar[None, None, :, None])
+                 ).astype(q.dtype)                     # (G, pr, l, m)
+            out = jnp.einsum("nrkl,krlm->nrm", A, E,
+                             precision=jax.lax.Precision.HIGHEST)
+            return out.reshape(n_pad * pr, 128)
+        return grouped
+
+    def fallback(q):
+        view = q.reshape(n_pad, pr * 128)
+        return jnp.take(view, idx, axis=1, mode="clip").reshape(
+            n_pad * pr, 128)
+
+    chain = fallback
+    for G in (2, 1):
+        chain = (lambda q, G=G, nxt=chain:
+                 jax.lax.cond(span <= G, make_grouped(G), nxt, q))
+    return chain(q)
 
 
 def scatter_pixel_rows(q, vals, sel, pr: int, interpret: bool = False):
@@ -422,8 +505,7 @@ def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
     P = num_particles
     N = z_obs.shape[0]
     K = cand.shape[1]
-    p_pad = _round_up(P, 128)
-    pr = p_pad // 128
+    p_pad, pr = _particle_pads(P)
     if gt.shape[1] != 10 * pr:
         raise ValueError(
             f"gt slab rows {gt.shape[1]} != 10·Pr = {10 * pr}")
@@ -494,7 +576,7 @@ def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
     (last) row of the mesh.
     """
     P = poses.shape[0]
-    gt = pack_constants(mesh, poses, _round_up(P, 128))
+    gt = pack_constants(mesh, poses, _particle_pads(P)[0])
     return fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
                                P, nb=nb, interpret=interpret)
 
@@ -593,7 +675,7 @@ class FusedSensor:
         self.nb = nb
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
-        if lineage_gather not in ("windowed", "take"):
+        if lineage_gather not in ("grouped", "windowed", "take"):
             raise ValueError(f"unknown lineage_gather: {lineage_gather!r}")
         self.lineage_gather = lineage_gather
         if merge not in ("scatter", "select"):
@@ -628,9 +710,9 @@ class FusedSensor:
                            - op.p_occluded_visible) >= 0.0
 
     def _pads(self, num_particles):
-        p_pad = _round_up(num_particles, 128)
+        p_pad, pr = _particle_pads(num_particles)
         n_pad = _round_up(self.camera.num_pixels, self.nb)
-        return p_pad, n_pad, p_pad // 128
+        return p_pad, n_pad, pr
 
     def init_occlusion(self, num_particles, initial_prob):
         """Fresh occlusion leaf: lazy (q, age) tuple (or raw q for g<0).
@@ -654,34 +736,42 @@ class FusedSensor:
             return occ[0], occ[1]
         return occ, None
 
+    def particle_stride(self, num_particles: int) -> int:
+        """Padded lane count of a ``num_particles`` block — the index
+        stride exchange code must use for concat results (_particle_pads
+        rounds row-groups to 8 past 1024 lanes)."""
+        return self._pads(num_particles)[0]
+
     def gather_occlusion(self, occ_k, parent_idx, num_in=None):
         """Particle-lineage gather in kernel layout (resampling).
 
-        ``lineage_gather="take"`` (default) is the plain XLA lane
-        gather — measured at the HBM roofline (0.39 ms for the 194 MB
-        map at the 10k north star on v5e; the 4.5 ms once attributed to
-        this gather was actually lax.cond buffer copies, fixed in
-        filters/rbcpf._maybe_resample). ``"windowed"`` routes through
-        :func:`ops.resample.windowed_lane_gather` (sorted systematic
-        parents → aligned slab + one-hot MXU matmul per 128-lane block;
-        exact, finiteness precondition satisfied by [0, 1] occlusion
-        probs) — measured at parity with take end-to-end, kept as an
-        option for layouts where the XLA gather regresses.
+        ``lineage_gather`` modes:
 
-        ``num_in`` (default: ``len(parent_idx)``) is the particle count
-        of the *source* map when it differs from the output count — the
-        distributed count-redistribution exchange compacts L-particle
-        shard blocks into C-particle surplus buffers and back
-        (parallel/dist_filter, SURVEY.md §7 hard part #2).
+          * ``"take"`` (default): the plain XLA lane gather on the
+            (n_pad, p_pad) view. Costs 3.6 ms at the 10k north star
+            (XLA lowers the minor-axis gather as transpose → gather →
+            transpose — session-20 trace) but measured FASTER end to
+            end than both alternatives;
+          * ``"grouped"``: :func:`grouped_lane_gather` — flat-layout
+            row gather + one-hot MXU contraction with a span ladder;
+            measured 6.65 vs 5.93 ms always-resample (the ladder conds
+            re-introduce cond-boundary copies) — kept for layouts/
+            hardware where the transpose lowering is worse;
+          * ``"windowed"``: ops.resample.windowed_lane_gather (aligned
+            slab + one-hot MXU per 128-lane block) — measured slower
+            end-to-end (8.91 vs 5.93 ms always-resample), kept for A/B.
+
+        ``num_in`` (optional): total source LANES when gathering from a
+        foreign source (the distributed exchanges' concat'd surplus
+        buffers — parallel/dist_filter); indices then address that lane
+        space directly. ``None`` → the sensor's own P-particle map.
         """
         from dbot_ros_tpu.ops import resample as rs
 
         occ_k, age = self._unpack_occ(occ_k)
         p_out = parent_idx.shape[0]
-        p_in = p_out if num_in is None else num_in
-        p_pad_in, n_pad, _ = self._pads(p_in)
-        p_pad_out, _, pr_out = self._pads(p_out)
-        view = occ_k.reshape(n_pad, p_pad_in)
+        p_pad_out, n_pad, pr_out = self._pads(p_out)
+        p_pad_in = p_pad_out if num_in is None else int(num_in)
         # pad lanes map to pad lanes when shapes allow (keeps the padded
         # particles' rows stable); otherwise clamp into range — padding
         # content is arbitrary but must stay finite
@@ -689,11 +779,17 @@ class FusedSensor:
                               p_pad_in - 1)
         idx_full = jnp.concatenate(
             [parent_idx.astype(jnp.int32), pad_idx])
-        if self.lineage_gather == "windowed" and p_in == p_out:
-            out = rs.windowed_lane_gather(view, idx_full)
+        same = num_in is None
+        if self.lineage_gather == "grouped" and same:
+            out = grouped_lane_gather(occ_k, idx_full, n_pad, pr_out)
+        elif self.lineage_gather == "windowed" and same:
+            view = occ_k.reshape(n_pad, p_pad_in)
+            out = rs.windowed_lane_gather(view, idx_full).reshape(
+                n_pad * pr_out, 128)
         else:
-            out = jnp.take(view, idx_full, axis=1, mode="clip")
-        out = out.reshape(n_pad * pr_out, 128)
+            view = occ_k.reshape(n_pad, p_pad_in)
+            out = jnp.take(view, idx_full, axis=1, mode="clip").reshape(
+                n_pad * pr_out, 128)
         # age is per-pixel (particle-independent) → lineage-invariant
         return out if age is None else (out, age)
 
@@ -849,8 +945,7 @@ class FusedSensor:
         from dbot_ros_tpu.models import occlusion as occ_mod
 
         P = states.shape[0]
-        p_pad = _round_up(P, 128)
-        pr = p_pad // 128
+        p_pad, pr = _particle_pads(P)
         cand = self.candidates(states)
         dtf = dt * self.frame_rate
         if self.bary_slack is not None:

@@ -92,9 +92,10 @@ def _occ_hooks(loglik_fn):
       * where(mask, a, b): per-particle select between two maps;
       * concat(blocks, num_each): concatenate equal-size particle
         blocks along the particle axis;
-      * stride(n): the particle-index stride of one n-particle block
-        inside a concat result (opaque layouts pad blocks to 128 lanes;
-        the plain layout doesn't pad).
+      * stride(n): the padded lane count of one n-particle block —
+        the index stride inside a concat result, and the ``num_in``
+        unit for gathers from concat'd sources (opaque layouts may pad
+        beyond 128-lane multiples; the plain layout doesn't pad).
     """
     sensor_gather = getattr(loglik_fn, "gather_occlusion", None)
     if sensor_gather is None:
@@ -112,7 +113,7 @@ def _occ_hooks(loglik_fn):
         concat = lambda blocks, num_each: jnp.concatenate(  # noqa: E731
             blocks, axis=0)
     else:
-        stride = _round_up128
+        stride = getattr(loglik_fn, "particle_stride", _round_up128)
     return gather, where, concat, stride
 
 
@@ -329,10 +330,12 @@ def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
             m_max = jnp.maximum(m_max, jnp.sum(first.astype(jnp.int32)))
         m_max = jax.lax.pmax(m_max, axis)
 
-        # Receiver-side slots into the fused buffer (stride C): offspring
-        # j's parent sits at slot = its distinct-rank within the run of
-        # parents owned by the source shard (cumsum of first-occurrence
-        # flags — duplicates inherit the preceding first's rank).
+        # Receiver-side slots into the fused buffer (one C-particle
+        # block per hop, lane stride occ_stride(C)): offspring j's parent
+        # sits at slot = its distinct-rank within the run of parents
+        # owned by the source shard (cumsum of first-occurrence flags —
+        # duplicates inherit the preceding first's rank).
+        Cs = occ_stride(C)
         chg_mine = jnp.concatenate(
             [jnp.ones((1,), bool), parents[1:] != parents[:-1]])
         cidx = jnp.zeros((p_local,), jnp.int32)
@@ -340,19 +343,19 @@ def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
             src = (idx - s) % n_shards
             mask = owner == src
             slotm = jnp.cumsum((mask & chg_mine).astype(jnp.int32)) - 1
-            cidx = jnp.where(mask, h * C + slotm, cidx)
+            cidx = jnp.where(mask, h * Cs + slotm, cidx)
 
         def counts_path(occ):
             bufs = []
             for s, rows in zip(hops, plans):
-                buf = occ_gather(occ, rows, num_in=p_local)
+                buf = occ_gather(occ, rows, num_in=occ_stride(p_local))
                 if s != 0:
                     perm = [(i, (i + s) % n_shards)
                             for i in range(n_shards)]
                     buf = jax.lax.ppermute(buf, axis, perm)
                 bufs.append(buf)
             combined = occ_concat(bufs, C)
-            return occ_gather(combined, cidx, num_in=C * len(hops))
+            return occ_gather(combined, cidx, num_in=Cs * len(hops))
 
         ok = (span <= max_hops) & (m_max <= C)
         new_occ = jax.lax.cond(ok, counts_path, full_ring, occ)

@@ -74,7 +74,8 @@ class ParticleTracker:
             tr.damping)
         self.sensor = make_rb_sensor(
             self.meshes, self.camera, self.beam_params, self.occ_params,
-            frame_rate=config.camera.frame_rate, backend=config.backend)
+            frame_rate=config.camera.frame_rate, backend=config.backend,
+            **(config.backend_options or {}))
 
         self._dt = 1.0 / config.camera.frame_rate
         # Donating the belief lets XLA reuse its buffers (the occlusion

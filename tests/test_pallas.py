@@ -435,3 +435,54 @@ def test_merge_modes_equivalent():
                     jax.tree_util.tree_leaves(outs["select"][2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-7)
+
+
+@pytest.mark.parametrize("pattern", ["identity", "systematic", "degenerate",
+                                     "scattered"])
+def test_grouped_lane_gather_matches_take(pattern):
+    """The grouped (row-gather + one-hot MXU) lineage gather must equal
+    the plain lane take for every parent pattern — including the
+    span-overflow fallback ('scattered')."""
+    from dbot_ros_tpu.ops.raycast_pallas import (grouped_lane_gather,
+                                                 _particle_pads)
+
+    P, n_pad = 300, 6
+    p_pad, pr = _particle_pads(P)
+    key = jax.random.PRNGKey(3)
+    q = jax.random.uniform(key, (n_pad * pr, 128))
+    if pattern == "identity":
+        idx = jnp.arange(p_pad, dtype=jnp.int32)
+    elif pattern == "systematic":
+        lw = 0.3 * jnp.sin(jnp.arange(float(P)))
+        from dbot_ros_tpu.ops import resample as rs
+        idx = rs.systematic_indices(jax.random.PRNGKey(1), lw, p_pad)
+    elif pattern == "degenerate":
+        idx = jnp.full((p_pad,), 137, jnp.int32)
+    else:  # scattered: parents jump across groups within one block
+        idx = (jnp.arange(p_pad, dtype=jnp.int32) * 113) % P
+    out = jax.jit(lambda q: grouped_lane_gather(q, idx, n_pad, pr))(q)
+    ref = jnp.take(q.reshape(n_pad, p_pad), idx, axis=1,
+                   mode="clip").reshape(n_pad * pr, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_gather_occlusion_grouped_matches_take_sensor():
+    """FusedSensor lineage gather: grouped vs take on the lazy (q, age)
+    leaf — bit-equal for systematic parents."""
+    from dbot_ros_tpu.ops.raycast_pallas import make_fused_sensor
+
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=96)
+    outs = {}
+    for lg in ("grouped", "take"):
+        sensor = make_fused_sensor(mesh, cam, bp, op, nb=32,
+                                   interpret=True, lineage_gather=lg)
+        occ = sensor.init_occlusion(96, 0.2)
+        states = jnp.zeros((96, 1, 13), jnp.float32).at[:, 0, :7].set(poses)
+        _, occ1 = sensor(states, occ, z_obs, 1.0 / 30.0)
+        lw = jnp.cos(jnp.arange(96.0)) * 2.0
+        from dbot_ros_tpu.ops import resample as rs
+        par = rs.systematic_indices(jax.random.PRNGKey(7), lw, 96)
+        outs[lg] = sensor.gather_occlusion(occ1, par)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["grouped"]),
+                    jax.tree_util.tree_leaves(outs["take"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
