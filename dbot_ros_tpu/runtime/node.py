@@ -61,7 +61,7 @@ def run(tracker, source, initial_pose=None,
         on_frame: Optional[Callable] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 0,
-        watchdog=None) -> TrackRun:
+        watchdog=None, reinit_kwargs: Optional[dict] = None) -> TrackRun:
     """Stream a source through a tracker.
 
     Args:
@@ -79,6 +79,8 @@ def run(tracker, source, initial_pose=None,
         the closed-loop failure-recovery path the reference delegates to
         a human re-running the RViz marker (SURVEY.md §5 failure row).
         Tripped frame indices land in TrackRun.reinit_frames.
+      reinit_kwargs: forwarded to the 6-DoF search (n_axes, n_spins,
+        refine_particles, depth range — speed/robustness trade).
     """
     frames = iter(source)
     first = next(frames)
@@ -121,7 +123,8 @@ def run(tracker, source, initial_pose=None,
         if watchdog is not None and watchdog.update(info, num_particles):
             # tracking lost: global re-acquisition on the current frame
             from dbot_ros_tpu.runtime.initializer import initialize_tracker
-            initialize_tracker(tracker, frame.depth)
+            initialize_tracker(tracker, frame.depth,
+                              **(reinit_kwargs or {}))
             reinit_frames.append(frame.index)
         if checkpoint_path and checkpoint_every \
                 and (frame.index + 1) % checkpoint_every == 0:

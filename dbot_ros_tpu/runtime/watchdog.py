@@ -25,7 +25,8 @@ from typing import Optional
 @dataclasses.dataclass
 class WatchdogConfig:
     ess_fraction_min: float = 0.02      # ESS below 2% of P → degenerate
-    loglik_drop: float = 3.0            # nats/pixel-ish drop vs EMA
+    loglik_drop: float = 3.0            # absolute drop floor vs EMA (nats)
+    loglik_mad_factor: float = 10.0     # ... or this × the tracked MAD
     beta_min: float = 0.05              # GF inlier-rate floor
     patience: int = 3                   # consecutive bad frames to trip
     ema_rate: float = 0.05              # baseline tracking rate
@@ -44,6 +45,7 @@ class TrackingWatchdog:
     def __init__(self, config: Optional[WatchdogConfig] = None):
         self.config = config or WatchdogConfig()
         self._loglik_ema: Optional[float] = None
+        self._loglik_mad = 0.0
         self._bad_streak = 0
         self._frames = 0
         self.trip_count = 0
@@ -51,6 +53,7 @@ class TrackingWatchdog:
     def reset(self):
         """Back to the post-init state (call after an external re-init)."""
         self._loglik_ema = None
+        self._loglik_mad = 0.0
         self._bad_streak = 0
         self._frames = 0
 
@@ -58,10 +61,16 @@ class TrackingWatchdog:
         c = self.config
         self._frames += 1
         if self._frames <= c.warmup:
-            # track the baseline during warmup, never trip
+            # track the baseline during warmup, never trip; seed the MAD
+            # from the observed frame-to-frame wobble so the adaptive
+            # threshold starts at the stream's own noise scale
             ll = getattr(info, "mean_loglik", None)
             if ll is not None:
-                self._loglik_ema = float(ll)
+                ll = float(ll)
+                if self._loglik_ema is not None:
+                    self._loglik_mad = max(self._loglik_mad,
+                                           abs(ll - self._loglik_ema))
+                self._loglik_ema = ll
             return False
         bad = False
 
@@ -75,11 +84,22 @@ class TrackingWatchdog:
             ll = float(ll)
             if self._loglik_ema is None:
                 self._loglik_ema = ll
-            if ll < self._loglik_ema - c.loglik_drop:
+            # Noise-adaptive threshold: the image loglik's healthy
+            # frame-to-frame wobble depends on pixel count and motion,
+            # so a fixed nats threshold false-trips (seen on a healthy
+            # circle run). Track the mean absolute deviation and demand
+            # a drop that dwarfs it (with the absolute floor for
+            # near-constant streams).
+            thresh = max(c.loglik_drop,
+                         c.loglik_mad_factor * self._loglik_mad)
+            if ll < self._loglik_ema - thresh:
                 bad = True
             else:
+                dev = abs(ll - self._loglik_ema)
                 self._loglik_ema = ((1 - c.ema_rate) * self._loglik_ema
                                     + c.ema_rate * ll)
+                self._loglik_mad = ((1 - c.ema_rate) * self._loglik_mad
+                                    + c.ema_rate * dev)
 
         beta = getattr(info, "mean_beta", None)
         if beta is not None and float(beta) < c.beta_min:

@@ -132,7 +132,13 @@ def test_watchdog_closed_loop_auto_recovery():
     source = SyntheticSource([mesh], cam, traj, num_frames=26,
                              noise_sigma=0.002, seed=5)
     wd = TrackingWatchdog(WatchdogConfig(patience=2))
-    run = node.run(tracker, source, watchdog=wd)
+    # trimmed 6-DoF search: the teleport keeps the box's orientation, so
+    # a coarse orientation grid re-acquires — full grid costs 100 s of
+    # the test suite
+    run = node.run(tracker, source, watchdog=wd,
+                   reinit_kwargs=dict(n_axes=6, n_spins=2,
+                                      refine_particles=128,
+                                      refine_steps=3))
 
     assert run.reinit_frames, "watchdog never tripped"
     assert min(run.reinit_frames) >= 12, run.reinit_frames
