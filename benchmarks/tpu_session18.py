@@ -88,11 +88,15 @@ def run_sensor_only(sensor, n_steps, label, trace=None):
     states = states.at[:, 0, :3].set(ref[:3] + dpos)
     states = states.at[:, 0, 3:7].set(ref[3:7])
     occ = sensor.init_occlusion(P, 0.1)
-    step = jax.jit(lambda s, o, z: sensor(s, o, z, dt))
-    ll, occ_new = step(states, occ, z_obs)
+    # donate occ to match bench.py — without it the ~194 MB occ leaf's
+    # buffer lifetime shows up as device idle gaps in the attribution
+    # trace and pollutes question (a) (ADVICE r2)
+    step = jax.jit(lambda s, o, z: sensor(s, o, z, dt),
+                   donate_argnums=(1,))
+    o = occ
+    ll, o = step(states, o, z_obs)   # warmup (occ buffer is donated)
     jax.block_until_ready(ll)
     t0 = time.perf_counter()
-    o = occ
     for _ in range(n_steps):
         ll, o = step(states, o, z_obs)
     jax.block_until_ready(ll)
@@ -118,11 +122,26 @@ run_steps(sensor, 1e9, 30, "step never-resample blocked-rank")
 run_steps(sensor, -1.0, 30, "step always-resample blocked-rank",
           trace="resample")
 
-# A/B: monkeypatch the old merged-sort searchsorted back in
-rs.sorted_searchsorted_left, _new = merged_sort_ssl, \
-    rs.sorted_searchsorted_left
+# A/B: swap the old merged-sort searchsorted into the *resample* call
+# site only (systematic_indices). A module-global monkeypatch would also
+# change the fused sensor's compaction ladder (raycast_pallas calls the
+# same rs.sorted_searchsorted_left), conflating the two paths — the A/B
+# must isolate the resample overhead (ADVICE r2).
+_orig_sys = rs.systematic_indices
+
+
+def _sys_merged(key, log_w, num_samples):
+    ln, _ = rs.normalize_log_weights(log_w)
+    cdf = jnp.cumsum(jnp.exp(ln), axis=-1)
+    u = jax.random.uniform(key, ())
+    pos = (jnp.arange(num_samples, dtype=jnp.float32) + u) / num_samples
+    idx = merged_sort_ssl(cdf, pos)
+    return jnp.clip(idx, 0, log_w.shape[-1] - 1).astype(jnp.int32)
+
+
+rs.systematic_indices = _sys_merged
 run_steps(sensor, -1.0, 30, "step always-resample merged-sort")
-rs.sorted_searchsorted_left = _new
+rs.systematic_indices = _orig_sys
 
 # KL-triggered (realistic) for the record
 run_steps(sensor, 1.0, 30, "step kl-triggered blocked-rank")

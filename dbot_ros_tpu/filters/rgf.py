@@ -154,7 +154,8 @@ def _occluder_tail(y, front, bp):
 def update(belief: GaussianBelief, z_obs, render_fn,
            bp: beam_mod.BeamParams, ut=None, iterations: int = 3,
            trust_sigma: float = 1.0, lin_floor_pos: float = 0.008,
-           lin_floor_rot: float = 0.04, bg_sigma: float = 0.02):
+           lin_floor_rot: float = 0.04, bg_sigma: float = 0.02,
+           invalid_discount: float = 0.25):
     """Robust multi-sensor measurement update (see module docstring).
 
     Design notes, each grounded in a failure mode this replaces:
@@ -234,36 +235,71 @@ def update(belief: GaussianBelief, z_obs, render_fn,
         Pxy_s = jnp.einsum("s,st,sn->tn", wm, deltas, hc,
                            precision=jax.lax.Precision.HIGHEST)
 
-        # --- generative mixture responsibilities at the observed depth
+        # --- generative mixture responsibilities at the observed depth.
+        # Valid pixels: {object body, learned background, occluder/clutter}
+        # densities. Invalid pixels (NaN/miss/out-of-range) use the beam
+        # model's invalid point masses (D9, beam.mass_invalid): a miss is
+        # *informative* — P(invalid | visible) ≪ P(invalid | off-object) —
+        # so a pixel where the belief predicts object but the sensor sees
+        # nothing exerts a silhouette *shrink* force. Without this branch
+        # the silhouette channel is grow-only (observed-object pixels pull
+        # "cover me", empty-space pixels say nothing) and a partial
+        # occluder drags the estimate onto the visible fragment — the
+        # occluder-divergence failure the r2 eval recorded.
         R = beam_mod.depth_sigma(m, bp) ** 2
         valid = jnp.isfinite(z_obs) & (z_obs >= bp.min_depth) \
             & (z_obs <= bp.max_depth)
         y = jnp.where(valid, z_obs, 1.0)
-        c_obj = p_hit * (1.0 - bp.tail_weight) \
-            * _gauss(y, m, s_yy + R)
-        c_bg = (1.0 - p_hit) * (1.0 - bp.tail_weight) \
-            * _gauss(y, bg, bg_sigma_sq + R)
+        c_obj = jnp.where(
+            valid,
+            p_hit * (1.0 - bp.tail_weight) * _gauss(y, m, s_yy + R),
+            p_hit * bp.p_invalid_visible)
+        c_bg = jnp.where(
+            valid,
+            (1.0 - p_hit) * (1.0 - bp.tail_weight)
+            * _gauss(y, bg, bg_sigma_sq + R),
+            (1.0 - p_hit) * bp.p_invalid_background)
         front = p_hit * m + (1.0 - p_hit) * bg
-        c_clut = bp.tail_weight * _occluder_tail(y, front, bp)
+        c_clut = jnp.where(
+            valid,
+            bp.tail_weight * _occluder_tail(y, front, bp),
+            bp.tail_weight * bp.p_invalid_occluded)
         total = jnp.maximum(c_obj + c_bg + c_clut, 1e-30)
-        r_obj = jnp.where(valid, c_obj / total, 0.0)
-        r_bg = jnp.where(valid, c_bg / total, 0.0)
+        r_obj = c_obj / total
+        r_bg = c_bg / total
 
         # --- depth channel
         H_d = jnp.linalg.solve(P_lin, Pxy_d).T          # (N, 12)
         expl_d = jnp.einsum("nt,tn->n", H_d, Pxy_d)
         U_d = jnp.maximum(s_yy - expl_d, 0.0)
-        iR_d = r_obj / (R + U_d + 1e-12)
+        # depth is only measured on valid returns (invalid pixels carry
+        # silhouette information only)
+        iR_d = jnp.where(valid, r_obj, 0.0) / (R + U_d + 1e-12)
         innov_d = jnp.where(valid, y - m, 0.0)
 
-        # --- silhouette channel: observed foreground fraction vs p_hit
+        # --- silhouette channel: observed foreground fraction vs p_hit.
+        # Invalid pixels participate: their o_obs comes from the invalid
+        # point-mass responsibilities (≈ 0 where the object is predicted
+        # but nothing is seen — the shrink force; exactly 0 innovation at
+        # p_hit∈{0,1} interior pixels, so dropout bursts on the object
+        # body stay harmless).
         H_s = jnp.linalg.solve(P_lin, Pxy_s).T          # (N, 12)
         o_obs = r_obj / jnp.maximum(r_obj + r_bg, 1e-6)
         var_s = p_hit * (1.0 - p_hit) + 0.05
-        iR_s = (r_obj + r_bg) / var_s
-        innov_s = jnp.where(valid, o_obs - p_hit, 0.0)
+        # Invalid (empty-space) pixels are spatially correlated — a miss
+        # region is one surface absence, not N independent detections —
+        # so their silhouette information is tempered (inflated R), the
+        # standard correlated-measurement robustification. The discount
+        # additionally scales with the frame's valid fraction: a mostly-
+        # invalid frame signals sensor failure (correlated blackout), not
+        # object absence, so an all-invalid frame contributes exactly
+        # zero information and the filter coasts.
+        valid_frac = jnp.mean(valid.astype(jnp.float32))
+        iR_s = jnp.where(valid, 1.0, invalid_discount * valid_frac) \
+            * (r_obj + r_bg) / var_s
+        innov_s = o_obs - p_hit
 
-        return (H_d, iR_d, innov_d), (H_s, iR_s, innov_s), r_obj, p_hit
+        return (H_d, iR_d, innov_d), (H_s, iR_s, innov_s), r_obj, r_bg, p_hit
 
     def information(channels):
         Lam = P_inv
@@ -278,18 +314,53 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # the running mean; each tangent step is trust-region-clipped to the
     # prior sigma ellipsoid (the linearization is meaningless beyond the
     # sigma-point spread — the measurement is discontinuous in the pose).
+    # The *cumulative* displacement from the prior mean is also clipped,
+    # with a support-gated radius: when the object is well observed
+    # (inlier fraction ≈ 1) all `iterations` steps may compound — fast
+    # dynamics legitimately need multi-sigma catch-up across the
+    # discontinuous render — but when the linearization rests on a
+    # handful of inlier pixels (heavy occlusion) the radius contracts to
+    # one trust step, so a noisy fragment cannot drag the mean
+    # iterations×trust_sigma sigmas in one frame (the runaway that
+    # preceded the r2 occluder divergence).
     mean = mean0
-    chans = r_obj = p_hit = None
+    chans = r_obj = r_bg = p_hit = None
     for _ in range(iterations):
-        chan_d, chan_s, r_obj, p_hit = linearize(mean)
+        chan_d, chan_s, r_obj, r_bg, p_hit = linearize(mean)
         chans = (chan_d, chan_s)
+        on_obj_f = (p_hit > 0.5).astype(jnp.float32)
+        support = jnp.sum(r_obj * on_obj_f) / jnp.maximum(
+            jnp.sum(on_obj_f), 1.0)
+        # Gate on *occluder evidence*, not raw inlier rate: a fast-motion
+        # catch-up frame has misaligned pixels explained by the learned
+        # background (r_bg high, r_clut ≈ 0 — the linearization direction
+        # is trustworthy, keep the full radius), while a partially
+        # occluded frame has predicted-object pixels explained by the
+        # occluder tail (r_clut high — the visible fragment's pull is
+        # biased, contract to ~1 trust step). Raw support cannot separate
+        # the two regimes (both sit at ≈0.3–0.6, measured probes).
+        r_clut = 1.0 - r_obj - r_bg
+        occ_frac = jnp.sum(r_clut * on_obj_f) / jnp.maximum(
+            jnp.sum(on_obj_f), 1.0)
+        gate = (1.0 - occ_frac) ** 2
+        total_cap = step_cap * (1.0 + (iterations - 1.0) * gate)
         Lam, rhs = information(chans)
         # Gauss-Newton step around the current mean: account for the
         # displacement already taken from the prior mean.
         d0 = se3.state_boxminus(mean, mean0).reshape(-1)
         delta = jnp.linalg.solve(Lam, rhs - P_inv @ d0)
         delta = jnp.clip(delta, -step_cap, step_cap)
-        mean = se3.state_boxplus(mean, delta.reshape(K, 12))
+        # Take the plain GN iterate (retraction from the *current* mean —
+        # re-retracting every step from mean0 with a summed tangent walks
+        # a different SO(3) path and biases large rotations); only when
+        # the cumulative displacement exceeds the gated radius, pull the
+        # iterate back onto the trust boundary around the prior mean.
+        cand = se3.state_boxplus(mean, delta.reshape(K, 12))
+        d_tot = se3.state_boxminus(cand, mean0).reshape(-1)
+        exceeded = jnp.any(jnp.abs(d_tot) > total_cap)
+        capped = se3.state_boxplus(
+            mean0, jnp.clip(d_tot, -total_cap, total_cap).reshape(K, 12))
+        mean = jnp.where(exceeded, capped, cand)
 
     Lam, _ = information(chans)
     cov_new = jnp.linalg.inv(Lam)

@@ -117,6 +117,10 @@ def cmd_track(args):
         names=[str(m) for m in mesh_names],
         meshes=conf.object.mesh_paths() or None,
         path=args.output)
+    service = None
+    if getattr(args, "service", None):
+        from dbot_ros_tpu.runtime.service import TrackerService
+        service = TrackerService(args.service)
     try:
         # With --auto-init the tracker is already initialized above and
         # node.run skips initialization when initial_pose is None.
@@ -124,9 +128,12 @@ def cmd_track(args):
                        on_frame=publisher,
                        checkpoint_path=args.checkpoint,
                        checkpoint_every=args.checkpoint_every,
-                       watchdog=_make_watchdog(args))
+                       watchdog=_make_watchdog(args),
+                       service=service)
     finally:
         publisher.close()
+        if service is not None:
+            service.close()
     _summarize(run, "track")
     return 0
 
@@ -213,6 +220,10 @@ def main(argv=None):
                               "the 6-DoF search when divergence trips)")
     p_track.add_argument("--checkpoint", default=None)
     p_track.add_argument("--checkpoint-every", type=int, default=0)
+    p_track.add_argument("--service", default=None, metavar="SOCKET",
+                         help="serve the JSON control service (ref M3: "
+                              "status/pause/reset_pose/find_object/"
+                              "checkpoint/shutdown) on this Unix socket")
     p_track.set_defaults(fn=cmd_track)
 
     p_sim = sub.add_parser("simulate",

@@ -61,7 +61,8 @@ def run(tracker, source, initial_pose=None,
         on_frame: Optional[Callable] = None,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 0,
-        watchdog=None, reinit_kwargs: Optional[dict] = None) -> TrackRun:
+        watchdog=None, reinit_kwargs: Optional[dict] = None,
+        service=None) -> TrackRun:
     """Stream a source through a tracker.
 
     Args:
@@ -81,6 +82,11 @@ def run(tracker, source, initial_pose=None,
         Tripped frame indices land in TrackRun.reinit_frames.
       reinit_kwargs: forwarded to the 6-DoF search (n_axes, n_spins,
         refine_particles, depth range — speed/robustness trade).
+      service: optional runtime.service.TrackerService — the srv/action
+        control surface (ref M3): queued commands (reset_pose,
+        find_object, checkpoint, shutdown) are applied between frames on
+        this thread; pause gates the track step; status snapshots are
+        published every frame.
     """
     frames = iter(source)
     first = next(frames)
@@ -106,7 +112,22 @@ def run(tracker, source, initial_pose=None,
     num_particles = getattr(getattr(tracker, "config", None),
                             "evaluation_count", None)
 
+    def pump_service(frame):
+        """Apply queued control commands; hold here while paused (frames
+        are not pulled from the source, so a paused replay resumes where
+        it stopped — the rosbag-pause semantic). False = shutdown."""
+        if service is None:
+            return True
+        while True:
+            if service.apply_pending(tracker, frame, reinit_kwargs):
+                return False
+            if not service.paused:
+                return True
+            time.sleep(0.01)
+
     def handle(frame):
+        if not pump_service(frame):
+            return False                          # shutdown requested
         t0 = time.perf_counter()
         poses, info = tracker.track(frame.depth)
         poses = np.asarray(poses)
@@ -130,13 +151,20 @@ def run(tracker, source, initial_pose=None,
                 and (frame.index + 1) % checkpoint_every == 0:
             from dbot_ros_tpu.runtime.checkpoint import save_belief
             save_belief(checkpoint_path, tracker.belief)
+        if service is not None:
+            service.update_status(frame.index, poses)
+        return True
 
-    handle(first)
-    for frame in frames:
-        handle(frame)
+    if handle(first):
+        for frame in frames:
+            if not handle(frame):
+                break
+
+    if service is not None:
+        reinit_frames = reinit_frames + list(service.reinit_frames)
 
     return TrackRun(
-        poses=np.stack(poses_out),
+        poses=np.stack(poses_out) if poses_out else np.zeros((0, 1, 7)),
         metrics=log,
         ground_truth=np.stack(gt_out) if gt_out and
         len(gt_out) == len(poses_out) else None,

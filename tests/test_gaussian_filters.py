@@ -232,7 +232,12 @@ def test_rgf_all_invalid_frame_is_noop_ish():
     b2, info = rgf.update(b, z, render_fn, bp)
     np.testing.assert_allclose(np.asarray(b2.mean), np.asarray(b.mean),
                                atol=1e-5)
-    assert float(info.mean_beta) == 0.0
+    # Invalid-return semantics (beam invalid masses): on a blackout frame
+    # the object-predicted pixels are partly explained by
+    # P(invalid | visible), so the inlier diagnostic stays above the
+    # watchdog's beta floor (0.05) — a sensor failure must coast, not
+    # trip a re-initialization.
+    assert float(info.mean_beta) > 0.1
 
 
 # -------------------------------------------------------- multi-object RGF
