@@ -54,10 +54,33 @@ def build_scene():
     return cam, mesh, occluder
 
 
+def scene_meshes(scenario, mesh):
+    from dbot_ros_tpu.utils.mesh import box_mesh
+
+    if scenario == "two_obj":
+        return [mesh, box_mesh(0.05, 0.07, 0.03)]
+    return [mesh]
+
+
 def trajectories(kind, start):
     from dbot_ros_tpu.utils import se3
 
     def pose_at(t):
+        if kind == "two_obj":
+            # object 0 (the L) drifts right at 0.55 m; object 1 (a box)
+            # crosses leftward 6 cm in front of it mid-sequence — a
+            # *tracked* mutual-occlusion pass (unlike `occluder`, where
+            # the bar is untracked clutter both estimators must reject)
+            ang = 0.02 * t
+            q0 = se3.quat_multiply(
+                se3.so3_exp_quat(jnp.array([0.0, ang, 0.0])), start[3:7])
+            p0 = start.at[0].add(0.0015 * t)
+            p1 = jnp.array([0.13 - 0.006 * t, 0.01, 0.49])
+            q1 = se3.quat_multiply(
+                se3.so3_exp_quat(jnp.array([0.015 * t, 0.0, 0.0])),
+                start[3:7])
+            return jnp.stack([jnp.concatenate([p0[:3], q0]),
+                              jnp.concatenate([p1, q1])])
         if kind == "fast_rot":
             ang = 0.145 * t                  # 4.3 rad/s at 30 Hz
             axis = jnp.array([0.5, 0.8, 0.33])
@@ -82,6 +105,10 @@ def make_source(kind, cam, mesh, occluder, frames, seed=0):
     start = jnp.concatenate([jnp.array([0.0, 0.0, 0.55]),
                              se3.quat_identity()])
     traj = trajectories(kind, start)
+    meshes = scene_meshes(kind, mesh)
+    if kind == "two_obj":
+        return OracleSource(meshes, cam, traj, num_frames=frames,
+                            noise_sigma=0.003, seed=seed)
     kw = {}
     if kind == "occluder":
         # bar sweeps left->right across the object over frames 8..32,
@@ -108,6 +135,7 @@ def make_tracker(estimator, cam, mesh, particles, scenario="nominal"):
     trans = cfg.TransitionConfig(linear_acceleration_sigma=0.4,
                                  angular_acceleration_sigma=ang,
                                  damping=6.0)
+    meshes = scene_meshes(scenario, mesh)
     if estimator == "rgf":
         from dbot_ros_tpu.trackers.gaussian import GaussianTracker
         # at this eval's small pixel budget (1200 px) the RGF needs more
@@ -116,7 +144,7 @@ def make_tracker(estimator, cam, mesh, particles, scenario="nominal"):
         conf = cfg.GaussianTrackerConfig(observation=obs, transition=trans,
                                          update_iterations=6,
                                          trust_sigma=2.0)
-        return GaussianTracker(conf, meshes=[mesh], camera=cam)
+        return GaussianTracker(conf, meshes=meshes, camera=cam)
     from dbot_ros_tpu.trackers.particle import ParticleTracker
     backend = estimator.replace("pf-", "")
     opts = {}
@@ -134,10 +162,10 @@ def make_tracker(estimator, cam, mesh, particles, scenario="nominal"):
         observation=obs, transition=trans, evaluation_count=particles,
         max_kl_divergence=0.8, backend=backend, seed=1,
         backend_options=opts)
-    return ParticleTracker(conf, meshes=[mesh], camera=cam)
+    return ParticleTracker(conf, meshes=meshes, camera=cam)
 
 
-SCENARIOS = ("nominal", "occluder", "dropout", "fast_rot")
+SCENARIOS = ("nominal", "occluder", "dropout", "fast_rot", "two_obj")
 ESTIMATORS = ("pf-xla", "pf-deferred", "pf-pallas", "rgf")
 
 

@@ -6,7 +6,8 @@ full trail in docs/DESIGN.md):
   17.7 / 22.4  round 1 baseline
    5.33 / 8.86 round 2 (cached pack matmul, tight ladder, where-select)
    3.66 / 6.62 round 3 session 19 (blocked-rank searchsorted landed)
-   →  see benchmarks/session20.log for the in-place-merge numbers.
+   2.21 / 5.93 round 3 session 20 (in-place DMA merge scatter)
+   2.69 / 3.70 round 3 session 22 (bf16 occlusion storage; KL 3.90)
 bench.py now also emits these (full_step field) on every driver run.
 
 Run on TPU hardware: python benchmarks/northstar_latency.py

@@ -60,20 +60,21 @@ def _round_up(x, m):
 
 
 def _particle_pads(num_particles: int):
-    """(p_pad, pr): the particle axis pads to 128 lanes × pr row-groups.
+    """(p_pad, pr): the particle axis pads to 128 lanes × pr row-groups,
+    with pr rounded to the 8-sublane tile.
 
-    MEASURED NEGATIVE RESULT (v5e session 21): additionally rounding pr
-    to a multiple of 8 — so flat ↔ (n_pad, pr, 128) reshapes become
-    bitcasts and the "grouped" lineage gather avoids XLA's
-    transpose→gather→transpose lowering — cost 0.9 ms/frame in the
-    KERNEL (2.46 → 3.36 ms sensor-only; the extra pad group is not the
-    linear +1.3 %), and the grouped gather's nested span-ladder conds
-    re-introduced the cond-boundary copies it was meant to remove
-    (always-resample 5.93 → 6.65 ms). Both stay available
-    (lineage_gather="grouped") but the default layout pads to the
-    natural 128-lane multiple only.
+    The 8-rounding became STRUCTURAL with bf16 occlusion storage
+    (session 22): Mosaic's packed (8, 128)(2, 1) bf16 tiling rejects
+    DMA slice shapes that are not sublane-tile multiples (the
+    scatter-merge's per-pixel (pr, 128) tiles, the lazy row gather), so
+    every dtype shares the aligned layout. Historical f32 context: on
+    the old *flat-indexed* kernel this pad measured +0.9 ms/frame
+    (session 21, 2.46 → 3.36 ms sensor-only, nonlinear); the session-22
+    kernel indexes a 3-D (nb, pr, 128) block on the untiled leading
+    axis instead, which re-measured at parity (see session22.log /
+    DESIGN.md) — and the halved bf16 traffic is the dominant term.
     """
-    pr = _round_up(num_particles, 128) // 128
+    pr = _round_up(max(_round_up(num_particles, 128) // 128, 1), 8)
     return pr * 128, pr
 
 
@@ -280,7 +281,10 @@ def _fused_kernel(cand_ref, z_ref, rays_ref, ages_ref, params_ref, occ_ref,
         # #3 without any full-map traffic); the chain is propagated by
         # (age + dt) in one closed-form step, exactly equal to the
         # eager per-frame recursion for g in [0, 1].
-        occ = occ_ref[pl.ds(j * pr, pr), :]
+        # 3-D block: dynamic pixel index on the *untiled* leading dim —
+        # a dynamic sublane offset (flat j·pr) is not provably aligned
+        # for bf16's (16, 128) tiling and fails Mosaic on hardware
+        occ = occ_ref[j].astype(jnp.float32)
         geff = occ_sgn * jnp.exp(occ_lg * (ages_ref[j, 0] + occ_dtf))
         q = jnp.clip(occ_pi + geff * (occ - occ_pi), 0.0, 1.0)
 
@@ -315,7 +319,7 @@ def _fused_kernel(cand_ref, z_ref, rays_ref, ages_ref, params_ref, occ_ref,
 
         occ_post = q * lik_occ / jnp.maximum(p_on, _TINY)
         occ_post = jnp.where(on_sil, jnp.clip(occ_post, 0.0, 1.0), q)
-        occ_out_ref[pl.ds(j * pr, pr), :] = occ_post
+        occ_out_ref[j] = occ_post.astype(occ_out_ref.dtype)
 
         ll_ref[:, :] += jnp.log(p_z)
         return 0
@@ -417,6 +421,84 @@ def grouped_lane_gather(q, idx, n_pad: int, pr: int):
     return chain(q)
 
 
+def lineage_gather_pallas(q, idx, n_pad: int, pr: int,
+                          interpret: bool = False, nblk: int = 64,
+                          span_cap: int = 2):
+    """Resampling lineage gather as ONE Pallas pass over the kernel layout.
+
+    ``out[n, r', m] = q[n, gb, lane]`` for parent ``idx[r'·128+m] =
+    gb·128 + lane`` on the (n_pad, pr, 128) view — the operation XLA's
+    minor-axis ``take`` lowers to transpose → gather → transpose (5
+    full-map passes, 3.6 ms at the 10k north star, session-20 trace).
+
+    Systematic-resampling parents are sorted, so each output 128-lane
+    group draws from a window of ≤ ``span_cap`` consecutive source
+    row-groups. The kernel streams, per (output group r', pixel block),
+    the window's source tiles and contracts each with a precomputed
+    one-hot routing matrix on the MXU:
+
+        out_tile = Σ_k  q[n_blk, glo[r']+k, :] @ E[r', k]   (bf16 → f32)
+
+    Traffic = (span+1)·map instead of 5·map, and the routing matrices
+    (pr·span·128·128, ~5 MB bf16) ride along the slow grid axis (r'
+    outer, pixel blocks inner → fetched once per r'). Exact for any
+    ``idx`` whose window fits; the caller falls back to ``take`` on the
+    (rare) wider-span frames via ``lax.cond``.
+    """
+    S = span_cap
+    gb = (idx // 128).reshape(pr, 128)
+    lane = (idx % 128).reshape(pr, 128)
+    glo = jnp.min(gb, axis=1).astype(jnp.int32)            # (pr,)
+    l_ar = jnp.arange(128, dtype=jnp.int32)
+    k_ar = jnp.arange(S, dtype=jnp.int32)
+    # E[r, k, l, m] = 1 iff output lane (r, m)'s parent is source lane
+    # (glo[r]+k, l); rows past the window get all-zero matrices.
+    hitg = gb[:, None, :] == glo[:, None, None] + k_ar[None, :, None]
+    E = (hitg[:, :, None, :]
+         & (lane[:, None, None, :] == l_ar[None, None, :, None]))
+    E = E.reshape(pr, S * 128, 128).astype(q.dtype)
+
+    # Flat (n_pad, p_pad) views: source/output 128-lane groups are
+    # *lane-dim blocks* whose offsets are multiples of 128 by
+    # construction — the only dynamic-index form Mosaic accepts for
+    # every dtype (a (·, 1, ·) middle-axis block would pad its 1-row
+    # tile to the sublane tiling and multiply the DMA traffic).
+    q2 = q.reshape(n_pad, pr * 128)
+    grid = (pr, n_pad // nblk)
+
+    def kern(glo_ref, *refs):
+        q_refs, E_ref, out_ref = refs[:S], refs[S], refs[S + 1]
+        acc = jnp.zeros((nblk, 128), jnp.float32)
+        for k in range(S):
+            Ek = E_ref[0, k * 128:(k + 1) * 128, :]
+            acc = acc + jnp.dot(q_refs[k][...], Ek,
+                                preferred_element_type=jnp.float32)
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    def q_spec(k):
+        return pl.BlockSpec(
+            (nblk, 128),
+            lambda r, n, glo_ref, k=k: (
+                n, jnp.minimum(glo_ref[r] + k, pr - 1)))
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[q_spec(k) for k in range(S)] + [
+                pl.BlockSpec((1, S * 128, 128),
+                             lambda r, n, glo_ref: (r, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (nblk, 128), lambda r, n, glo_ref: (n, r)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, pr * 128), q.dtype),
+        interpret=interpret,
+    )(glo, *([q2] * S), E)
+    return out.reshape(n_pad * pr, 128)
+
+
 def scatter_pixel_rows(q, vals, sel, pr: int, interpret: bool = False):
     """In-place pixel-row scatter: ``q[sel[j]·pr:(sel[j]+1)·pr] =
     vals[j·pr:(j+1)·pr]`` for every selected pixel j.
@@ -442,16 +524,22 @@ def scatter_pixel_rows(q, vals, sel, pr: int, interpret: bool = False):
     Implementation: pure HBM→HBM async DMAs with dynamic row offsets
     (both buffers in ``ANY`` memory space — a (pr, 128) output *block*
     would need pr % 8 == 0, which the pixel-major layout doesn't
-    guarantee), pipelined over an 8-deep semaphore ring.
+    guarantee), pipelined over an 8-deep semaphore ring. The buffers are
+    viewed 3-D (pixels, pr, 128) so each copy slices the *untiled*
+    leading dim — a flat ``ds(j·pr, pr)`` slice shape must be a multiple
+    of the sublane tiling for packed dtypes (bf16), which pr is not.
     """
     pcap = vals.shape[0] // pr
     nsem = 8
+    n_pix = q.shape[0] // pr
+    q3 = q.reshape(n_pix, pr, 128)
+    vals3 = vals.reshape(pcap, pr, 128)
 
     def kern(sel_ref, vals_ref, q_ref, out_ref, sems):
         def cp(j):
             return pltpu.make_async_copy(
-                vals_ref.at[pl.ds(j * pr, pr)],
-                out_ref.at[pl.ds(sel_ref[j] * pr, pr)],
+                vals_ref.at[j],
+                out_ref.at[sel_ref[j]],
                 sems.at[j % nsem])
 
         def body(j, _):
@@ -479,11 +567,12 @@ def scatter_pixel_rows(q, vals, sel, pr: int, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         input_output_aliases={2: 0},
-        interpret=interpret)(sel.astype(jnp.int32), vals, q)
+        interpret=interpret)(sel.astype(jnp.int32), vals3, q3)
+    return out.reshape(q.shape)
 
 
 def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
@@ -543,18 +632,20 @@ def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
                          memory_space=pltpu.SMEM),        # ages
             pl.BlockSpec((1, 16), lambda n: (0, 0),
                          memory_space=pltpu.SMEM),        # params
-            pl.BlockSpec((nb * pr, 128), lambda n: (n, 0),
+            pl.BlockSpec((nb, pr, 128), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),        # occ (pixel-major)
             pl.BlockSpec(memory_space=pl.ANY),            # gt (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((nb * pr, 128), lambda n: (n, 0),
+            pl.BlockSpec((nb, pr, 128), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),        # occ_post
             pl.BlockSpec((pr, 128), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),        # loglik accum
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad * pr, 128), jnp.float32),
+            # occ posterior keeps the stored dtype (bf16 storage halves
+            # every occ-touching HBM pass; the kernel computes in f32)
+            jax.ShapeDtypeStruct((n_pad, pr, 128), occ_k.dtype),
             jax.ShapeDtypeStruct((pr, 128), jnp.float32),
         ],
         scratch_shapes=[
@@ -562,10 +653,11 @@ def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
             pltpu.SemaphoreType.DMA((2, K)),
         ],
         interpret=interpret,
-    )(cand_in, z_in, rays_in, ages_in, params_in, occ_k, gt)
+    )(cand_in, z_in, rays_in, ages_in, params_in,
+      occ_k.reshape(n_pad, pr, 128), gt)
 
     loglik = ll.reshape(p_pad)[:P]
-    return loglik, occ_out
+    return loglik, occ_out.reshape(n_pad * pr, 128)
 
 
 def fused_loglik(mesh: TriangleMesh, poses, occ_k, z_obs, cand, rays,
@@ -643,7 +735,8 @@ class FusedSensor:
                  num_candidates=2, radius=2, nb=64, interpret=None,
                  active_cap_frac=None, tri_cap_frac=None, levels=None,
                  lineage_gather="take", bary_slack=None,
-                 bary_slack_px=0.25, merge="scatter"):
+                 bary_slack_px=0.25, merge="scatter",
+                 occ_dtype=jnp.bfloat16):
         self.meshes = ([meshes] if isinstance(meshes, TriangleMesh)
                        else list(meshes))
         self.camera = camera
@@ -675,7 +768,7 @@ class FusedSensor:
         self.nb = nb
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
-        if lineage_gather not in ("grouped", "windowed", "take"):
+        if lineage_gather not in ("grouped", "windowed", "take", "pallas"):
             raise ValueError(f"unknown lineage_gather: {lineage_gather!r}")
         self.lineage_gather = lineage_gather
         if merge not in ("scatter", "select"):
@@ -702,6 +795,16 @@ class FusedSensor:
         from dbot_ros_tpu.ops import slack as slack_mod
         self._min_median_edge = slack_mod.median_edge(self.meshes)
         self._fx = float(jnp.asarray(camera.camera_matrix)[0, 0])
+        # Occlusion storage dtype. The kernel always computes in f32;
+        # the stored (n_pad·Pr, 128) map is the single biggest buffer
+        # the step touches (~194 MB at the 10k north star in f32), and
+        # every hot pass over it — kernel read+write, the resample
+        # lineage take, exchange permutes — is HBM-bandwidth-bound.
+        # bf16 halves all of them; an occlusion probability is a
+        # smoothed [0, 1] latent, so the ~0.4 % relative quantization is
+        # far below the beam model's noise (bf16-vs-f32 tracking parity
+        # is tested). Pass jnp.float32 for exact parity runs.
+        self.occ_dtype = jnp.dtype(occ_dtype)
         # Lazy per-pixel occlusion aging (the occlusion leaf becomes a
         # (q, age) tuple; see __call__). Requires g >= 0 so the closed
         # form g^k keeps its sign — true for any physical occlusion
@@ -725,7 +828,7 @@ class FusedSensor:
         for diagnostics), so the common path never touches the full map.
         """
         p_pad, n_pad, pr = self._pads(num_particles)
-        q = jnp.full((n_pad * pr, 128), jnp.float32(initial_prob))
+        q = jnp.full((n_pad * pr, 128), initial_prob, self.occ_dtype)
         if not self._lazy:
             return q
         return (q, jnp.zeros((n_pad,), jnp.float32))
@@ -780,7 +883,28 @@ class FusedSensor:
         idx_full = jnp.concatenate(
             [parent_idx.astype(jnp.int32), pad_idx])
         same = num_in is None
-        if self.lineage_gather == "grouped" and same:
+        if self.lineage_gather == "pallas" and same:
+            # one-pass MXU routing kernel for the (sorted-parents)
+            # bounded-window case; exact take fallback otherwise
+            gb = idx_full // 128
+            span = jnp.max(gb.reshape(pr_out, 128)
+                           - jnp.min(gb.reshape(pr_out, 128), axis=1,
+                                     keepdims=True)) + 1
+            nblk = next(b for b in (256, 128, 64, 32, 16, 8, 4, 2, 1)
+                        if n_pad % b == 0)
+
+            def fast(q):
+                return lineage_gather_pallas(q, idx_full, n_pad, pr_out,
+                                             interpret=self.interpret,
+                                             nblk=nblk)
+
+            def slow(q):
+                view = q.reshape(n_pad, p_pad_in)
+                return jnp.take(view, idx_full, axis=1,
+                                mode="clip").reshape(n_pad * pr_out, 128)
+
+            out = jax.lax.cond(span <= 2, fast, slow, occ_k)
+        elif self.lineage_gather == "grouped" and same:
             out = grouped_lane_gather(occ_k, idx_full, n_pad, pr_out)
         elif self.lineage_gather == "windowed" and same:
             view = occ_k.reshape(n_pad, p_pad_in)
@@ -833,6 +957,7 @@ class FusedSensor:
         """Diagnostic view of the occlusion state as (P, N), materialized
         to 'now' (lazy ages applied via the closed-form propagation)."""
         occ_k, age = self._unpack_occ(occ_k)
+        occ_k = occ_k.astype(jnp.float32)
         q = occ_from_kernel(occ_k, self.camera.num_pixels,
                             num_particles, self.nb)
         if age is None:
@@ -1128,7 +1253,9 @@ class FusedSensor:
                     jnp.take(cand_use, sel, axis=0),
                     jnp.take(self.camera.rays, sel, axis=0),
                     params_vec, P, nb=self.nb, interpret=self.interpret)
-                prop = occ_mod.propagate(occ_view, self.op, dtf)
+                prop = occ_mod.propagate(
+                    occ_view.astype(jnp.float32), self.op,
+                    dtf).astype(q_k.dtype)
                 out_view = prop.at[sel].set(occ_post.reshape(pcap, p_pad))
                 return ll + scalar, out_view.reshape(n_pad * pr, 128)
 
@@ -1152,7 +1279,8 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       lineage_gather: str = "take",
                       bary_slack: float = None,
                       bary_slack_px: float = 0.25,
-                      merge: str = "scatter") -> FusedSensor:
+                      merge: str = "scatter",
+                      occ_dtype=jnp.bfloat16) -> FusedSensor:
     """Fused sensor factory (the flagship large-particle config).
 
     Accepts one mesh or a list of per-object meshes (multi-object scenes
@@ -1168,4 +1296,4 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
     return FusedSensor(meshes, camera, bp, op, frame_rate, num_candidates,
                        radius, nb, interpret, active_cap_frac,
                        tri_cap_frac, levels, lineage_gather, bary_slack,
-                       bary_slack_px, merge)
+                       bary_slack_px, merge, occ_dtype)

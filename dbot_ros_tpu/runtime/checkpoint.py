@@ -20,6 +20,25 @@ from dbot_ros_tpu.filters.rgf import GaussianBelief
 _KINDS = {"particle": ParticleBelief, "gaussian": GaussianBelief}
 
 
+def _encode(arr):
+    """npz-safe ndarray: ml_dtypes bfloat16 (the fused sensor's occlusion
+    storage dtype) is not a builtin numpy dtype, so it round-trips as a
+    bit-exact uint16 view plus a name tag."""
+    arr = np.asarray(arr)
+    if arr.dtype.name == "bfloat16":
+        return arr.view(np.uint16), "__bf16"
+    return arr, ""
+
+
+def _decode(name, data):
+    import jax.numpy as jnp
+    if name + "__bf16" in data:
+        return jnp.asarray(data[name + "__bf16"]).view(jnp.bfloat16)
+    if name in data:
+        return jnp.asarray(data[name])
+    return None
+
+
 def save_belief(path: str, belief) -> None:
     if isinstance(belief, ParticleBelief):
         kind = "particle"
@@ -32,12 +51,14 @@ def save_belief(path: str, belief) -> None:
         v = getattr(belief, f.name)
         leaves = jax.tree_util.tree_leaves(v)
         if len(leaves) == 1 and not isinstance(v, (tuple, list)):
-            arrays[f.name] = np.asarray(v)
+            arr, tag = _encode(v)
+            arrays[f.name + tag] = arr
         else:
             # multi-leaf field (e.g. the fused sensor's lazy (q, age)
             # occlusion tuple) → one entry per leaf
             for i, leaf in enumerate(leaves):
-                arrays[f"{f.name}__{i}"] = np.asarray(leaf)
+                arr, tag = _encode(leaf)
+                arrays[f"{f.name}__{i}{tag}"] = arr
     np.savez(path, __kind__=np.array(kind), **arrays)
 
 
@@ -48,8 +69,8 @@ def load_belief(path: str):
     import jax.numpy as jnp
     kwargs = {}
     for f in dataclasses.fields(cls):
-        if f.name in data:
-            arr = jnp.asarray(data[f.name])
+        arr = _decode(f.name, data)
+        if arr is not None:
             if f.name == "key":
                 # PRNG keys round-trip as raw uint32 key data.
                 arr = jax.random.wrap_key_data(arr.astype(jnp.uint32)) \
@@ -57,8 +78,11 @@ def load_belief(path: str):
             kwargs[f.name] = arr
         else:
             leaves = []
-            while f"{f.name}__{len(leaves)}" in data:
-                leaves.append(jnp.asarray(data[f"{f.name}__{len(leaves)}"]))
+            while True:
+                leaf = _decode(f"{f.name}__{len(leaves)}", data)
+                if leaf is None:
+                    break
+                leaves.append(leaf)
             if not leaves:
                 raise KeyError(f"checkpoint missing field {f.name!r}")
             kwargs[f.name] = tuple(leaves)

@@ -169,8 +169,10 @@ def test_fused_multi_object_matches_candidate_oracle():
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
                                rtol=2e-4, atol=0.05)
     occ_post = sensor.occlusion_as_pn(occ_post_k, P)
+    # atol spans the sensor's bf16 occlusion storage (~0.4 % relative
+    # quantization of a [0, 1] probability; FusedSensor.occ_dtype)
     np.testing.assert_allclose(np.asarray(occ_post), np.asarray(occ_ref),
-                               atol=2e-4)
+                               atol=4e-3)
     # mutual occlusion is active in this scene: some pixel of the L's
     # silhouette must be shadowed by the box (depth from the box, i.e. the
     # oracle depth at those pixels < the L-only depth)
@@ -292,9 +294,11 @@ def test_lazy_occlusion_matches_eager():
         ll_r, occ_raw = sensor(states, occ_raw, z_obs, dt)
         np.testing.assert_allclose(np.asarray(ll_l), np.asarray(ll_r),
                                    rtol=1e-6, atol=1e-4)
+        # lazy and eager quantize to the bf16 store at different points
+        # of the propagation recursion — equal to quantization noise only
         np.testing.assert_allclose(
             np.asarray(sensor.occlusion_as_pn(occ_lazy, 64)),
-            np.asarray(sensor.occlusion_as_pn(occ_raw, 64)), atol=1e-5)
+            np.asarray(sensor.occlusion_as_pn(occ_raw, 64)), atol=4e-3)
     assert bool(jnp.any(occ_lazy[1] > 0)), \
         "some pixels should have aged (test must exercise laziness)"
 
@@ -486,3 +490,60 @@ def test_gather_occlusion_grouped_matches_take_sensor():
     for a, b in zip(jax.tree_util.tree_leaves(outs["grouped"]),
                     jax.tree_util.tree_leaves(outs["take"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_bf16_occlusion_storage_parity():
+    """bf16 occlusion storage (the default; halves every occ-touching HBM
+    pass) must match an f32-storage sensor to quantization noise: loglik
+    within a small fraction of a nat, occlusion within one bf16 ulp of
+    [0, 1], over a multi-frame chained run (quantization must not
+    accumulate — the chain contracts toward the stationary point)."""
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=64)
+    kw = dict(interpret=True)
+    s16 = make_fused_sensor(mesh, cam, bp, op, **kw)
+    s32 = make_fused_sensor(mesh, cam, bp, op, occ_dtype=jnp.float32, **kw)
+    assert s16.init_occlusion(64, 0.1)[0].dtype == jnp.bfloat16
+
+    states = jnp.zeros((64, 1, 13)).at[:, 0, :7].set(poses[:64])
+    o16 = s16.init_occlusion(64, 0.1)
+    o32 = s32.init_occlusion(64, 0.1)
+    for t in range(4):
+        st = states.at[:, 0, 0].add(0.004 * t)
+        ll16, o16 = s16(st, o16, z_obs, 1.0 / 30.0)
+        ll32, o32 = s32(st, o32, z_obs, 1.0 / 30.0)
+        np.testing.assert_allclose(np.asarray(ll16), np.asarray(ll32),
+                                   rtol=0, atol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(s16.occlusion_as_pn(o16, 64)),
+            np.asarray(s32.occlusion_as_pn(o32, 64)), atol=5e-3)
+
+    # lineage gather + checkpoint roundtrip preserve the bf16 dtype
+    par = jnp.arange(64, dtype=jnp.int32)[::-1]
+    g = s16.gather_occlusion(o16, par)
+    assert s16._unpack_occ(g)[0].dtype == jnp.bfloat16
+
+
+def test_pallas_lineage_gather_matches_take():
+    """The one-pass MXU routing gather (lineage_gather='pallas') must be
+    bit-equal to the take path for sorted systematic parents (span <= 2)
+    and fall back to take for scattered parents (span > 2)."""
+    cam, mesh, bp, op, ref, poses, z_obs, occ0 = setup(P=96)
+    s_p = make_fused_sensor(mesh, cam, bp, op, interpret=True,
+                            lineage_gather="pallas")
+    s_t = make_fused_sensor(mesh, cam, bp, op, interpret=True,
+                            lineage_gather="take")
+    states = jnp.zeros((96, 1, 13)).at[:, 0, :7].set(poses)
+    occ = s_p.init_occlusion(96, 0.1)
+    _, occ = s_p(states, occ, z_obs, 1.0 / 30.0)
+
+    key = jax.random.PRNGKey(3)
+    sorted_par = jnp.sort(
+        jax.random.randint(key, (96,), 0, 96)).astype(jnp.int32)
+    scattered = jax.random.permutation(key, 96).astype(jnp.int32)
+    degenerate = jnp.full((96,), 41, jnp.int32)
+    for par in (sorted_par, degenerate, scattered):
+        a = s_p.gather_occlusion(occ, par)
+        b = s_t.gather_occlusion(occ, par)
+        np.testing.assert_array_equal(
+            np.asarray(s_p._unpack_occ(a)[0]),
+            np.asarray(s_t._unpack_occ(b)[0]))
