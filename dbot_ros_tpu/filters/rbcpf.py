@@ -64,7 +64,8 @@ class StepInfo:
 
 
 def init_belief(key, initial_poses, num_particles: int, num_pixels: int,
-                initial_occlusion_prob=0.1, sensor=None) -> ParticleBelief:
+                initial_occlusion_prob=0.1, sensor=None,
+                hypothesis_logits=None) -> ParticleBelief:
     """Initialize all particles at the given poses with zero velocity.
 
     Mirrors ``ParticleTracker::on_initialize`` (D19): set particles to the
@@ -72,11 +73,39 @@ def init_belief(key, initial_poses, num_particles: int, num_pixels: int,
     them through the transition noise (the reference additionally resamples
     to ``evaluation_count``, which is a no-op for identical particles).
 
+    Multi-hypothesis init: pass ``initial_poses`` of shape (H, K, 7) with
+    ``hypothesis_logits`` (H,) — particles are allocated across the
+    hypotheses proportional to ``softmax(logits)`` (systematic, so the
+    split is deterministic given the key). The first frames of tracking
+    then resolve the ambiguity by likelihood — the Bayesian answer to
+    near-symmetric initialization twins (the automatic initializer's
+    known failure mode, R9/R11): a clearly-wrong hypothesis dies in a
+    few resamples, a genuine tie persists until evidence arrives.
+
     If ``sensor`` provides ``init_occlusion`` (e.g. the fused Pallas
     sensor with its device-layout occlusion state), the occlusion leaf is
     created by the sensor; otherwise it is the standard (P, N) map.
     """
     initial_poses = jnp.asarray(initial_poses, jnp.float32)
+    if hypothesis_logits is not None:
+        if initial_poses.ndim == 2:          # (H, 7) single object
+            initial_poses = initial_poses[:, None]
+        key, k_h = jax.random.split(key)
+        logits = jnp.asarray(hypothesis_logits, jnp.float32)
+        assign = rs.systematic_indices(k_h, logits, num_particles)
+        k = initial_poses.shape[1]
+        states = jnp.zeros((num_particles, k, 13), jnp.float32)
+        states = states.at[..., :7].set(initial_poses[assign])
+        if sensor is not None and hasattr(sensor, "init_occlusion"):
+            occ = sensor.init_occlusion(num_particles,
+                                        initial_occlusion_prob)
+        else:
+            occ = jnp.full((num_particles, num_pixels),
+                           jnp.float32(initial_occlusion_prob))
+        return ParticleBelief(states=states,
+                              log_weights=jnp.zeros((num_particles,),
+                                                    jnp.float32),
+                              occlusion=occ, key=key)
     if initial_poses.ndim == 1:
         initial_poses = initial_poses[None]
     k = initial_poses.shape[0]

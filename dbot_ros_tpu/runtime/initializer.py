@@ -93,7 +93,7 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
                       depth_offsets=(0.0, 0.03, 0.06),
                       refine_particles: int = 256,
                       refine_steps: int = 4,
-                      key=None):
+                      key=None, return_beams: bool = False):
     """Search for the object pose in one frame → (pose (7,), score).
 
     The returned pose is in the *centered-mesh* frame (what the filters
@@ -204,19 +204,45 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
                                       axis=1)[:, 0]
 
     best = jnp.argmax(beam_ll)
+    if return_beams:
+        return beams[best], beam_ll[best], int(n_fg), beams, beam_ll
     return beams[best], beam_ll[best], int(n_fg)
 
 
-def initialize_tracker(tracker, depth, **kwargs):
-    """Auto-initialize a ParticleTracker/GaussianTracker from one frame."""
+def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
+                       **kwargs):
+    """Auto-initialize a ParticleTracker/GaussianTracker from one frame.
+
+    For particle trackers, every refined beam pose within
+    ``hypothesis_margin`` nats of the winner is kept as an init
+    *hypothesis* (score-weighted particle mixture) — the Bayesian
+    treatment of near-symmetric twins the one-shot search cannot
+    distinguish (R9 known gap): the filter's own likelihood resolves
+    them within a few frames. A clear winner collapses the softmax to
+    a single hypothesis, reproducing the plain init exactly.
+    """
     from dbot_ros_tpu.trackers import base
 
     mesh = tracker.meshes[0] if hasattr(tracker, "meshes") else tracker.mesh
-    pose_center, score, n_fg = find_initial_pose(
-        depth, mesh, tracker.camera, bp=tracker.beam_params, **kwargs)
+    pose_center, score, n_fg, beams, beam_ll = find_initial_pose(
+        depth, mesh, tracker.camera, bp=tracker.beam_params,
+        return_beams=True, **kwargs)
     pose_model = base.to_model_frame(pose_center, mesh.center)
+    hyp_kwargs = {}
+    if hasattr(tracker, "belief") and hasattr(
+            getattr(type(tracker), "initialize", None), "__call__"):
+        import inspect
+        if "hypotheses" in inspect.signature(
+                tracker.initialize).parameters:
+            keep = beam_ll >= beam_ll.max() - hypothesis_margin
+            if int(jnp.sum(keep)) > 1:
+                hyp = jax.vmap(
+                    lambda p: base.to_model_frame(p, mesh.center))(
+                        beams[keep])
+                hyp_kwargs = dict(hypotheses=hyp,
+                                  hypothesis_logits=beam_ll[keep])
     try:
-        tracker.initialize(pose_model, first_frame=depth)
+        tracker.initialize(pose_model, first_frame=depth, **hyp_kwargs)
     except TypeError:
-        tracker.initialize(pose_model)
+        tracker.initialize(pose_model, **hyp_kwargs)
     return pose_model, score

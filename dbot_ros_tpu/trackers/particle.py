@@ -95,21 +95,40 @@ class ParticleTracker:
     def centers(self):
         return jnp.stack([m.center for m in self.meshes])  # (K, 3)
 
-    def initialize(self, poses_model):
+    def initialize(self, poses_model, hypotheses=None,
+                   hypothesis_logits=None):
         """Set the initial object pose(s), in the original mesh frame.
 
         Ref: ObjectTracker::initialize + ParticleTracker::on_initialize.
+
+        ``hypotheses`` (H, K, 7) model-frame poses + ``hypothesis_logits``
+        (H,): seed the particle cloud as a score-weighted mixture over
+        pose hypotheses (the automatic initializer's refined beam) —
+        tracking itself then resolves near-symmetric twins by likelihood.
+        ``poses_model`` remains the reported pose until evidence arrives.
         """
         poses_model = jnp.asarray(poses_model, jnp.float32)
         if poses_model.ndim == 1:
             poses_model = poses_model[None]
         poses_center = base.to_center_frame(poses_model, self.centers)
         key = jax.random.PRNGKey(self.config.seed)
-        self.belief = rbcpf.init_belief(
-            key, poses_center, self.config.evaluation_count,
-            self.camera.num_pixels,
-            float(self.occ_params.initial_occlusion_prob),
-            sensor=self.sensor)
+        if hypotheses is not None:
+            hyp = jnp.asarray(hypotheses, jnp.float32)
+            if hyp.ndim == 2:
+                hyp = hyp[:, None]           # (H, 7) → (H, 1, 7)
+            hyp_center = jax.vmap(
+                lambda p: base.to_center_frame(p, self.centers))(hyp)
+            self.belief = rbcpf.init_belief(
+                key, hyp_center, self.config.evaluation_count,
+                self.camera.num_pixels,
+                float(self.occ_params.initial_occlusion_prob),
+                sensor=self.sensor, hypothesis_logits=hypothesis_logits)
+        else:
+            self.belief = rbcpf.init_belief(
+                key, poses_center, self.config.evaluation_count,
+                self.camera.num_pixels,
+                float(self.occ_params.initial_occlusion_prob),
+                sensor=self.sensor)
         self._smoothed = poses_center
 
     def restore(self, belief: rbcpf.ParticleBelief):

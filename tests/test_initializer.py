@@ -116,3 +116,46 @@ def test_initialize_tracker_then_track():
     ll_est = pose_ll_center(est_center)
     ll_true = pose_ll_center(true_pose)  # the frame was rendered from this
     assert ll_est > ll_true - 60.0, (ll_est, ll_true)
+
+
+def test_multi_hypothesis_init_resolves_twin():
+    """Seed the PF with the true pose AND a 180-degree twin at equal
+    score (the initializer's near-symmetry failure mode); a few frames
+    of tracking must collapse the mixture onto the true orientation."""
+    import jax
+
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.runtime import node, sources
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+
+    cam = cam32()
+    mesh = l_shape_mesh()
+    true_pose = np.concatenate([[0.0, 0.0, 0.6], [1.0, 0, 0, 0]])
+    flip = np.asarray(se3.quat_multiply(
+        se3.so3_exp_quat(jnp.array([0.0, np.pi, 0.0])),
+        jnp.asarray(true_pose[3:7], jnp.float32)))
+    twin = np.concatenate([true_pose[:3], flip])
+
+    conf = cfg.ParticleTrackerConfig(
+        evaluation_count=256, max_kl_divergence=0.5,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(linear_acceleration_sigma=0.3,
+                                        angular_acceleration_sigma=1.5,
+                                        damping=4.0),
+        seed=7)
+    tracker = ParticleTracker(conf, meshes=[mesh], camera=cam)
+    tracker.initialize(true_pose,
+                       hypotheses=np.stack([true_pose, twin]),
+                       hypothesis_logits=np.zeros(2, np.float32))
+    # both hypotheses actually populated
+    q0 = np.asarray(tracker.belief.states[:, 0, 3:7])
+    ang = 2 * np.arccos(np.clip(np.abs(q0 @ true_pose[3:7]), 0, 1))
+    assert (ang < 0.1).sum() > 64 and (ang > 2.0).sum() > 64
+
+    src = sources.SyntheticSource(
+        mesh, cam, lambda t: jnp.asarray(true_pose, jnp.float32)[None],
+        num_frames=10, noise_sigma=0.002, seed=1)
+    run = node.run(tracker, src)
+    err = run.rotation_errors()[-1, 0]
+    assert err < 0.5, f"twin not resolved: final rot err {err}"
