@@ -79,12 +79,24 @@ def main():
     ll, occ = step(states, occ, z_obs)
     ll.block_until_ready()
 
+    # Min over repeated timing windows: single-window readings through
+    # the tunneled chip vary up to 2x run-to-run (host-side dispatch
+    # jitter — the chained device work itself is steady, as the stable
+    # full_step readings below show). The minimum is the standard
+    # de-noised latency estimator.
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ll, occ = step(states, occ, z_obs)
-    ll.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    windows = 3
+
+    def timed_window():
+        nonlocal occ
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ll, o = step(states, occ, z_obs)
+            occ = o
+        ll.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    dt = min(timed_window() for _ in range(windows))
     evals_per_s = P * n_pix / dt
 
     # --- north star #2: full filter-step latency (never / always / KL)
@@ -98,11 +110,16 @@ def main():
             donate_argnums=(0,))
         belief, info = fstep(belief, z_obs)
         jax.block_until_ready(info.mean_state)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            belief, info = fstep(belief, z_obs)
-        jax.block_until_ready(info.mean_state)
-        ms = 1e3 * (time.perf_counter() - t0) / iters
+
+        def fwindow():
+            nonlocal belief, info
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                belief, info = fstep(belief, z_obs)
+            jax.block_until_ready(info.mean_state)
+            return (time.perf_counter() - t0) / iters
+
+        ms = 1e3 * min(fwindow() for _ in range(windows))
         full_step[tag] = {"ms": round(ms, 3), "hz": round(1e3 / ms, 1)}
 
     print(json.dumps({
