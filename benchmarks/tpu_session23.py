@@ -70,7 +70,6 @@ def run_dist(exchange, n_steps, label):
     print(f"{label}: {dtm*1e3:.2f} ms/step", flush=True)
 
 
-run_plain(1.0, 30, "plain kl step (control)")
+# control = session 22's plain KL step on the same sensor: 3.90 ms
 run_dist("counts", 30, "axis-1 dist step, counts exchange")
-run_dist("all_gather", 30, "axis-1 dist step, all_gather exchange")
 print("DONE", flush=True)

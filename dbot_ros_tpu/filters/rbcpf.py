@@ -96,21 +96,12 @@ def init_belief(key, initial_poses, num_particles: int, num_pixels: int,
         k = initial_poses.shape[1]
         states = jnp.zeros((num_particles, k, 13), jnp.float32)
         states = states.at[..., :7].set(initial_poses[assign])
-        if sensor is not None and hasattr(sensor, "init_occlusion"):
-            occ = sensor.init_occlusion(num_particles,
-                                        initial_occlusion_prob)
-        else:
-            occ = jnp.full((num_particles, num_pixels),
-                           jnp.float32(initial_occlusion_prob))
-        return ParticleBelief(states=states,
-                              log_weights=jnp.zeros((num_particles,),
-                                                    jnp.float32),
-                              occlusion=occ, key=key)
-    if initial_poses.ndim == 1:
-        initial_poses = initial_poses[None]
-    k = initial_poses.shape[0]
-    states = jnp.zeros((num_particles, k, 13), jnp.float32)
-    states = states.at[..., :7].set(initial_poses[None])
+    else:
+        if initial_poses.ndim == 1:
+            initial_poses = initial_poses[None]
+        k = initial_poses.shape[0]
+        states = jnp.zeros((num_particles, k, 13), jnp.float32)
+        states = states.at[..., :7].set(initial_poses[None])
     if sensor is not None and hasattr(sensor, "init_occlusion"):
         occ = sensor.init_occlusion(num_particles, initial_occlusion_prob)
     else:

@@ -329,8 +329,6 @@ def update(belief: GaussianBelief, z_obs, render_fn,
         chan_d, chan_s, r_obj, r_bg, p_hit = linearize(mean)
         chans = (chan_d, chan_s)
         on_obj_f = (p_hit > 0.5).astype(jnp.float32)
-        support = jnp.sum(r_obj * on_obj_f) / jnp.maximum(
-            jnp.sum(on_obj_f), 1.0)
         # Gate on *occluder evidence*, not raw inlier rate: a fast-motion
         # catch-up frame has misaligned pixels explained by the learned
         # background (r_bg high, r_clut ≈ 0 — the linearization direction

@@ -885,7 +885,16 @@ class FusedSensor:
         same = num_in is None
         if self.lineage_gather == "pallas" and same:
             # one-pass MXU routing kernel for the (sorted-parents)
-            # bounded-window case; exact take fallback otherwise
+            # bounded-window case; exact take fallback otherwise.
+            # Pad lanes map to the LAST REAL PARENT, not identity:
+            # identity pads sit in the top row-groups and would blow the
+            # span check in exactly the ESS-collapse regime the kernel
+            # targets (parents one low column, pads at pr-1) — their
+            # content is arbitrary, only finiteness matters.
+            idx_full = jnp.concatenate([
+                parent_idx.astype(jnp.int32),
+                jnp.broadcast_to(parent_idx[-1].astype(jnp.int32),
+                                 (p_pad_out - p_out,))])
             gb = idx_full // 128
             span = jnp.max(gb.reshape(pr_out, 128)
                            - jnp.min(gb.reshape(pr_out, 128), axis=1,

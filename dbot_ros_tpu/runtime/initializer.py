@@ -220,6 +220,12 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
     distinguish (R9 known gap): the filter's own likelihood resolves
     them within a few frames. A clear winner collapses the softmax to
     a single hypothesis, reproducing the plain init exactly.
+
+    Temperature: raw scores are full-image log-likelihoods whose nat
+    differences dwarf softmax — a twin 12 nats behind would get e⁻¹²
+    of the particles (i.e. none). The kept logits are rescaled so the
+    margin edge maps to ~1/P mass: every surviving hypothesis receives
+    at least a particle's worth, while the ranking is preserved.
     """
     from dbot_ros_tpu.trackers import base
 
@@ -239,8 +245,14 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
                 hyp = jax.vmap(
                     lambda p: base.to_model_frame(p, mesh.center))(
                         beams[keep])
-                hyp_kwargs = dict(hypotheses=hyp,
-                                  hypothesis_logits=beam_ll[keep])
+                n_part = int(getattr(getattr(tracker, "config", None),
+                                     "evaluation_count", 1000))
+                temp = hypothesis_margin / float(
+                    np.log(max(n_part, 2)))
+                hyp_kwargs = dict(
+                    hypotheses=hyp,
+                    hypothesis_logits=(beam_ll[keep]
+                                       - beam_ll.max()) / temp)
     try:
         tracker.initialize(pose_model, first_frame=depth, **hyp_kwargs)
     except TypeError:

@@ -56,8 +56,13 @@ class MetricsLog:
         return sum(r.latency_s for r in self.records) / len(self.records)
 
     def steady_state_latency(self, skip: int = 2) -> float:
-        """Mean latency excluding the first `skip` (compile) frames."""
+        """Mean latency excluding the first `skip` (compile) frames.
+
+        0.0 for an empty log (a run shut down before any frame was
+        tracked — e.g. a service shutdown while paused at frame 0)."""
         rs = self.records[skip:] or self.records
+        if not rs:
+            return 0.0
         return sum(r.latency_s for r in rs) / len(rs)
 
     def resample_count(self) -> int:

@@ -163,8 +163,10 @@ def run(tracker, source, initial_pose=None,
     if service is not None:
         reinit_frames = reinit_frames + list(service.reinit_frames)
 
+    num_objects = len(getattr(tracker, "meshes", [None]))
     return TrackRun(
-        poses=np.stack(poses_out) if poses_out else np.zeros((0, 1, 7)),
+        poses=(np.stack(poses_out) if poses_out
+               else np.zeros((0, num_objects, 7))),
         metrics=log,
         ground_truth=np.stack(gt_out) if gt_out and
         len(gt_out) == len(poses_out) else None,

@@ -56,6 +56,7 @@ class TrackerService:
         self._seq = 0
         self._applied_seq = 0
         self._status = {"frame": None, "poses": None}
+        self._last_error = None
         self.paused = False
         self.shutdown_requested = False
         self.reinit_frames: List[int] = []
@@ -98,7 +99,8 @@ class TrackerService:
             st.update(ok=True, paused=self.paused,
                       applied_seq=self._applied_seq,
                       pending=len(self._queue),
-                      reinit_frames=list(self.reinit_frames))
+                      reinit_frames=list(self.reinit_frames),
+                      last_error=self._last_error)
         return st
 
     # -------------------------------------------------------------- loop side
@@ -109,25 +111,39 @@ class TrackerService:
 
     def apply_pending(self, tracker, frame, reinit_kwargs=None) -> bool:
         """Drain queued commands on the loop thread. Returns True when the
-        run loop should stop (shutdown)."""
+        run loop should stop (shutdown).
+
+        Command failures are contained: a malformed pose or an unwritable
+        checkpoint path must not take down the tracking loop (the operator
+        typo'd, the tracker keeps tracking) — the error is recorded and
+        surfaced through ``status`` as ``last_error``.
+        """
         with self._lock:
             pending, self._queue = self._queue, []
         stop = False
         for command in pending:
             cmd = command["cmd"]
-            if cmd == "reset_pose":
-                tracker.initialize(np.asarray(command["pose"], np.float32))
-            elif cmd == "find_object":
-                from dbot_ros_tpu.runtime.initializer import (
-                    initialize_tracker)
-                initialize_tracker(tracker, frame.depth,
-                                   **(reinit_kwargs or {}))
-                self.reinit_frames.append(int(frame.index))
-            elif cmd == "checkpoint":
-                from dbot_ros_tpu.runtime.checkpoint import save_belief
-                save_belief(command["path"], tracker.belief)
-            elif cmd == "shutdown":
-                stop = True
+            try:
+                if cmd == "reset_pose":
+                    pose = np.asarray(command["pose"],
+                                      np.float32).reshape(-1, 7)
+                    tracker.initialize(pose[0] if pose.shape[0] == 1
+                                       else pose)
+                elif cmd == "find_object":
+                    from dbot_ros_tpu.runtime.initializer import (
+                        initialize_tracker)
+                    initialize_tracker(tracker, frame.depth,
+                                       **(reinit_kwargs or {}))
+                    self.reinit_frames.append(int(frame.index))
+                elif cmd == "checkpoint":
+                    from dbot_ros_tpu.runtime.checkpoint import save_belief
+                    save_belief(command["path"], tracker.belief)
+                elif cmd == "shutdown":
+                    stop = True
+            except Exception as e:  # noqa: BLE001 - contain, report
+                with self._lock:
+                    self._last_error = (f"{cmd} (seq {command['seq']}): "
+                                        f"{type(e).__name__}: {e}")
             with self._lock:
                 self._applied_seq = max(self._applied_seq, command["seq"])
         return stop
@@ -171,8 +187,14 @@ class TrackerService:
                     if not line.strip():
                         continue
                     try:
-                        reply = self.submit(json.loads(line))
-                    except (json.JSONDecodeError, TypeError) as e:
+                        cmd = json.loads(line)
+                        if not isinstance(cmd, dict):
+                            reply = {"ok": False,
+                                     "error": "command must be a JSON "
+                                              "object"}
+                        else:
+                            reply = self.submit(cmd)
+                    except Exception as e:  # noqa: BLE001 - reply, not die
                         reply = {"ok": False, "error": str(e)}
                     try:
                         conn.sendall(json.dumps(reply).encode() + b"\n")

@@ -159,3 +159,28 @@ def test_multi_hypothesis_init_resolves_twin():
     run = node.run(tracker, src)
     err = run.rotation_errors()[-1, 0]
     assert err < 0.5, f"twin not resolved: final rot err {err}"
+
+
+def test_hypothesis_allocation_tempering():
+    """A runner-up hypothesis 12 nats behind must still receive particles
+    after the margin/ln(P) tempering initialize_tracker applies (raw
+    image-loglik nats would collapse the softmax: e^-12 of 512 = 0)."""
+    import jax
+
+    from dbot_ros_tpu.filters import rbcpf
+
+    P, margin = 512, 30.0
+    beam_ll = np.array([0.0, -12.0], np.float32)
+    temp = margin / np.log(P)
+    logits = (beam_ll - beam_ll.max()) / temp
+    poses = np.stack([
+        np.concatenate([[0.0, 0, 0.6], [1, 0, 0, 0]]),
+        np.concatenate([[0.1, 0, 0.6], [1, 0, 0, 0]])]).astype(np.float32)
+    b = rbcpf.init_belief(jax.random.PRNGKey(0), poses, P, 16,
+                          hypothesis_logits=logits)
+    n_runner = int(np.sum(np.asarray(b.states[:, 0, 0]) > 0.05))
+    assert 10 < n_runner < P // 2, n_runner
+    # untempered raw nats: the runner-up would get nothing
+    b2 = rbcpf.init_belief(jax.random.PRNGKey(0), poses, P, 16,
+                           hypothesis_logits=beam_ll)
+    assert int(np.sum(np.asarray(b2.states[:, 0, 0]) > 0.05)) == 0

@@ -544,6 +544,9 @@ def test_pallas_lineage_gather_matches_take():
     for par in (sorted_par, degenerate, scattered):
         a = s_p.gather_occlusion(occ, par)
         b = s_t.gather_occlusion(occ, par)
+        # compare real particles only — pad-lane content is arbitrary
+        # and intentionally differs (pallas maps pads to the last real
+        # parent to keep the span window tight)
         np.testing.assert_array_equal(
-            np.asarray(s_p._unpack_occ(a)[0]),
-            np.asarray(s_t._unpack_occ(b)[0]))
+            np.asarray(s_p.occlusion_as_pn(a, 96)),
+            np.asarray(s_t.occlusion_as_pn(b, 96)))

@@ -177,3 +177,17 @@ def test_socket_service_end_to_end(tmp_path):
         svc.close()
         if t.is_alive():                     # pragma: no cover - safety
             t.join(timeout=5)
+
+
+def test_bad_command_does_not_kill_loop():
+    """A malformed queued command (operator typo) must be contained: the
+    run finishes, the error is surfaced via status.last_error."""
+    _, _, src, tracker = make_scene(frames=4)
+    svc = TrackerService()
+    svc.submit({"cmd": "reset_pose", "pose": [0.0, 0.0, 0.6]})  # 3 != 7
+    svc.submit({"cmd": "checkpoint", "path": "/nonexistent/dir/x.npz"})
+    run = node.run(tracker, src, service=svc)
+    assert len(run.poses) == 4                  # loop survived
+    st = svc.status()
+    assert st["last_error"] and "seq" in st["last_error"]
+    assert st["applied_seq"] == 2
