@@ -116,7 +116,11 @@ def main():
             t0 = time.perf_counter()
             for _ in range(iters):
                 belief, info = fstep(belief, z_obs)
-            jax.block_until_ready(info.mean_state)
+            # block on the WHOLE belief: waiting on mean_state alone
+            # under-synchronizes (the final step's occlusion outputs may
+            # still be in flight — measured as a bogus 0.07 ms/step on
+            # one gather variant, session 24)
+            jax.block_until_ready(belief)
             return (time.perf_counter() - t0) / iters
 
         ms = 1e3 * min(fwindow() for _ in range(windows))
