@@ -38,6 +38,7 @@ processes × 4 virtual devices each through it).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -200,8 +201,8 @@ def _psum_mean_state(states, w, axis, power_iters=12):
     return jnp.concatenate([lin[:, :3], qm, lin[:, 7:13]], axis=-1)
 
 
-def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
-                    n_shards, p_local, axis, exchange, max_hops,
+def _resample_block(states, log_w, occ, old_loglik, *, do, ln, k_res,
+                    idx, n_shards, p_local, axis, exchange, max_hops,
                     capacity, hooks):
     """Global systematic resampling of one coordinate block's aftermath.
 
@@ -209,32 +210,62 @@ def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
     the all_gather resampler's output bit-for-bit (same key → same
     parents); they differ only in how parent occlusion rows cross shards
     (see make_distributed_step's docstring).
+
+    The KL trigger ``do`` is NOT a ``lax.cond`` over the belief: a cond
+    whose operands include the occlusion map costs ~4.3 ms/step of
+    cond-boundary full-map copies at the 10k north star (DESIGN.md
+    anti-pattern #1 — measured again distributed in session 23: 8.21 ms
+    vs 3.90 plain on an axis-size-1 mesh). Instead the parent vector is
+    ``where``-selected between systematic parents and the global
+    identity, and the gathers/collectives run unconditionally — on
+    no-resample frames every exchange reduces to an identity gather and
+    (counts mode) empty surplus buffers, keeping collective order
+    uniform across shards (the shard_map correctness requirement). This
+    is the distributed analog of ``rbcpf._maybe_resample``.
     """
     occ_gather, occ_where, occ_concat, occ_stride = hooks
     w_all = jax.lax.all_gather(jnp.exp(ln), axis, tiled=True)
     cdf = jnp.cumsum(w_all)
     u = jax.random.uniform(k_res, ())  # same key → same u everywhere
     total = w_all.shape[0]
-    pos = (jnp.arange(p_local, dtype=jnp.float32)
-           + idx * p_local + u) / total
-    # pos is ascending -> rank by the blocked compare-reduce instead of
-    # the while-loop binary search (see resample.py notes)
-    parents = jnp.clip(rs.sorted_searchsorted_left(cdf, pos),
-                       0, total - 1)
+
+    def shard_parents(shard):
+        """Where-selected global parent indices of shard ``shard``:
+        systematic parents on resample frames, identity otherwise."""
+        ar = jnp.arange(p_local, dtype=jnp.float32)
+        pos = (ar + shard * p_local + u) / total
+        # pos is ascending -> rank by the blocked compare-reduce instead
+        # of the while-loop binary search (see resample.py notes)
+        p_rs = jnp.clip(rs.sorted_searchsorted_left(cdf, pos),
+                        0, total - 1)
+        return jnp.where(do, p_rs,
+                         shard * p_local + jnp.arange(p_local,
+                                                      dtype=jnp.int32))
+
+    parents = shard_parents(idx)
     # Parent states + running loglik: tiny, always all_gather.
     st_all = jax.lax.all_gather(states, axis, tiled=True)
     new_states = jnp.take(st_all, parents, axis=0)
     ll_all = jax.lax.all_gather(old_loglik, axis, tiled=True)
     new_old_loglik = jnp.take(ll_all, parents, axis=0)
+    new_log_w = jnp.where(do, jnp.zeros_like(log_w), log_w)
 
     owner = parents // p_local
+    local_idx = jnp.clip(parents - idx * p_local, 0, p_local - 1)
+
+    if n_shards == 1:
+        # Axis-size-1 mesh: every parent is local — the exchange
+        # degenerates (at trace time) to the single-device lineage
+        # gather. No collectives, no select, no cond.
+        new_occ = occ_gather(occ, local_idx)
+        return new_states, new_log_w, new_occ, new_old_loglik
 
     def pluck(out, blk, src):
         """Copy rows of `parents` owned by shard `src` from blk."""
-        local_idx = jnp.clip(parents - src * p_local, 0, p_local - 1)
+        src_idx = jnp.clip(parents - src * p_local, 0, p_local - 1)
         mask = ((parents >= src * p_local)
                 & (parents < (src + 1) * p_local))
-        return occ_where(mask, occ_gather(blk, local_idx), out)
+        return occ_where(mask, occ_gather(blk, src_idx), out)
 
     def full_ring(occ):
         # At round r shard `idx` holds shard (idx+r)%S's block; it
@@ -254,16 +285,23 @@ def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
         return new_occ
 
     if exchange == "all_gather":
-        stride = occ_stride(p_local)
-        occ_all = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, axis), occ)   # (S, ...) leaves
-        blocks = [jax.tree_util.tree_map(lambda x, s=s: x[s], occ_all)
-                  for s in range(n_shards)]
-        combined = occ_concat(blocks, p_local)
-        gidx = owner * stride + (parents - owner * p_local)
-        new_occ = occ_gather(combined, gidx, num_in=n_shards * stride)
-    elif exchange == "ring" or n_shards <= 2 * max_hops + 1:
-        new_occ = full_ring(occ)
+        def gather_path(occ):
+            stride = occ_stride(p_local)
+            occ_all = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, axis), occ)  # (S, ...)
+            blocks = [jax.tree_util.tree_map(lambda x, s=s: x[s], occ_all)
+                      for s in range(n_shards)]
+            combined = occ_concat(blocks, p_local)
+            gidx = owner * stride + (parents - owner * p_local)
+            return occ_gather(combined, gidx, num_in=n_shards * stride)
+
+        # A/B modes keep an occ-only cond (the full exchange every frame
+        # would cost more traffic than the cond-boundary copy); the
+        # uniform `do` predicate keeps collective order consistent.
+        new_occ = jax.lax.cond(do, gather_path, lambda o: o, occ)
+    elif exchange == "ring" or (exchange == "neighbor"
+                                and n_shards <= 2 * max_hops + 1):
+        new_occ = jax.lax.cond(do, full_ring, lambda o: o, occ)
     elif exchange == "neighbor":
         # Bounded-hop whole-block exchange: parents are sorted, so this
         # shard needs rows from owner shards within [d_min, d_max] hops.
@@ -285,37 +323,52 @@ def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
                     out = pluck(out, blk, (idx + s) % n_shards)
             return out
 
-        new_occ = jax.lax.cond(span <= max_hops, neighbor, full_ring,
-                               occ)
+        new_occ = jax.lax.cond(
+            do,
+            lambda o: jax.lax.cond(span <= max_hops, neighbor,
+                                   full_ring, o),
+            lambda o: o, occ)
     else:
         # Count-redistribution (SURVEY §7 hard part #2: "redistribute
-        # counts then shuffle only surplus particles"). Every shard
-        # recomputes each hop-neighbor's parent list from the shared
-        # (cdf, u) — no extra communication — compacts the *distinct*
-        # rows that neighbor needs from this shard into a C-row surplus
-        # buffer, and ships only the buffers (one small ppermute per
-        # hop). ICI traffic ∝ distinct parents moved, not P. Frames
-        # whose hop span or distinct-parent count overflow run the
-        # exact full ring instead.
+        # counts then shuffle only surplus particles") — the production
+        # mode, and the only one that is COND-FREE on the common path:
+        #
+        #   * locally-owned parent rows (all of them on no-resample
+        #     frames, most of them on resample frames — systematic
+        #     parents are sorted) come from one unconditional lineage
+        #     gather, exactly the single-device fast path;
+        #   * remote rows ride per-hop C-row surplus buffers: every
+        #     shard recomputes each hop-neighbor's parent list from the
+        #     shared (cdf, u) — no extra communication — compacts the
+        #     *distinct* rows that neighbor needs from it, and ships
+        #     only the buffers (one small ppermute per hop, identical
+        #     every frame → uniform collective order). The plans are
+        #     gated on `do`, so no-resample frames ship empty buffers
+        #     and the final merge select keeps the local gather.
+        #
+        # ICI traffic ∝ distinct parents moved, not P. Frames whose hop
+        # span or distinct-parent count overflow run the exact full
+        # ring via a rare occ-only cond — skipped at trace time when
+        # (capacity, max_hops) make overflow impossible.
         C = capacity if capacity is not None else max(128, p_local // 8)
         C = min(_round_up128(C), _round_up128(p_local))
-        hops = list(range(-max_hops, max_hops + 1))
+        # s ≡ 0 (mod S) would "ship" a shard its own rows — the local
+        # gather already covers those (and on identity frames such a
+        # plan would spuriously overflow the capacity check).
+        hops = [s for s in range(-max_hops, max_hops + 1)
+                if s % n_shards != 0]
         half = n_shards // 2
         dw = (owner - idx + half) % n_shards - half  # minimal signed hop
         span = jax.lax.pmax(jnp.max(jnp.abs(dw)), axis)
 
         # Sender-side compaction plans: for each hop, the distinct local
         # rows the destination shard needs from this shard ((L,) vector
-        # math — cheap; outside the cond so the overflow predicate can
-        # see the distinct counts).
+        # math — cheap).
         plans = []
         m_max = jnp.int32(0)
         for s in hops:
             dest = (idx + s) % n_shards
-            pos_d = (jnp.arange(p_local, dtype=jnp.float32)
-                     + dest * p_local + u) / total
-            p_d = jnp.clip(rs.sorted_searchsorted_left(cdf, pos_d),
-                           0, total - 1)
+            p_d = shard_parents(dest)
             mine = (p_d // p_local) == idx
             chg = jnp.concatenate(
                 [jnp.ones((1,), bool), p_d[1:] != p_d[:-1]])
@@ -345,22 +398,29 @@ def _resample_block(states, log_w, occ, old_loglik, *, ln, k_res, idx,
             slotm = jnp.cumsum((mask & chg_mine).astype(jnp.int32)) - 1
             cidx = jnp.where(mask, h * Cs + slotm, cidx)
 
-        def counts_path(occ):
+        loc = occ_gather(occ, local_idx)
+
+        def counts_path(loc):
             bufs = []
             for s, rows in zip(hops, plans):
                 buf = occ_gather(occ, rows, num_in=occ_stride(p_local))
-                if s != 0:
-                    perm = [(i, (i + s) % n_shards)
-                            for i in range(n_shards)]
-                    buf = jax.lax.ppermute(buf, axis, perm)
+                perm = [(i, (i + s) % n_shards)
+                        for i in range(n_shards)]
+                buf = jax.lax.ppermute(buf, axis, perm)
                 bufs.append(buf)
             combined = occ_concat(bufs, C)
-            return occ_gather(combined, cidx, num_in=Cs * len(hops))
+            remote = occ_gather(combined, cidx, num_in=Cs * len(hops))
+            return occ_where(owner != idx, remote, loc)
 
-        ok = (span <= max_hops) & (m_max <= C)
-        new_occ = jax.lax.cond(ok, counts_path, full_ring, occ)
+        if max_hops >= n_shards // 2 and C >= p_local:
+            # overflow statically impossible: no fallback cond at all
+            new_occ = counts_path(loc)
+        else:
+            ok = (span <= max_hops) & (m_max <= C)
+            new_occ = jax.lax.cond(ok, counts_path,
+                                   lambda _loc: full_ring(occ), loc)
 
-    return new_states, jnp.zeros_like(log_w), new_occ, new_old_loglik
+    return new_states, new_log_w, new_occ, new_old_loglik
 
 
 def _make_step_local(loglik_fn, trans_params, dt, max_kl_divergence,
@@ -401,17 +461,19 @@ def _make_step_local(loglik_fn, trans_params, dt, max_kl_divergence,
             lse, s2, kl, p_total = _global_log_normalizers(log_w, axis)
             ln = log_w - lse
 
-            # --- KL-triggered global systematic resampling
+            # --- KL-triggered global systematic resampling. NOT a
+            # lax.cond over the belief (DESIGN.md anti-pattern #1 —
+            # cond-boundary copies cost ~4.3 ms/step at the 10k north
+            # star): the trigger rides into _resample_block as a
+            # where-select on the parent indices, and the gathers +
+            # collectives run unconditionally in uniform order.
             k_res = jax.random.fold_in(k_res_base, b)
-            states, log_w, occ, old_loglik = jax.lax.cond(
-                kl > max_kl_divergence,
-                lambda args, _ln=ln, _k=k_res: _resample_block(
-                    *args, ln=_ln, k_res=_k, idx=idx,
-                    n_shards=n_shards, p_local=p_local, axis=axis,
-                    exchange=exchange, max_hops=max_hops,
-                    capacity=capacity, hooks=hooks),
-                lambda args: args,
-                (states, log_w, occ, old_loglik))
+            states, log_w, occ, old_loglik = _resample_block(
+                states, log_w, occ, old_loglik,
+                do=kl > max_kl_divergence, ln=ln, k_res=k_res, idx=idx,
+                n_shards=n_shards, p_local=p_local, axis=axis,
+                exchange=exchange, max_hops=max_hops,
+                capacity=capacity, hooks=hooks)
 
         # --- weighted mean state over all K objects (psum-reduced);
         # recompute the normalizer after the potential resample
@@ -485,7 +547,7 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
         out_specs=(pspec, pspec, pspec, rspec, rspec, rspec),
         check_vma=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(belief: ParticleBelief, z_obs):
         states, log_w, occ, key, mean_state, ess = sharded(
             belief.states, belief.log_weights, belief.occlusion,
@@ -571,10 +633,10 @@ def make_multi_scene_step(mesh: Mesh, loglik_fn: Callable,
     star #3). Runs unchanged under ``jax.distributed`` with the scene
     axis spanning processes (tests/test_multihost.py).
 
-    Note: under the scene vmap the per-block resampling ``lax.cond``
-    linearizes to a select (both branches execute every frame) — the
-    exchange cost is paid unconditionally, but collective *order* stays
-    uniform across the particle axis, which is what correctness needs.
+    Note: the per-block resampling path is cond-free (where-selected
+    parents, unconditional collectives — see ``_resample_block``), so
+    it vmaps over scenes without branch linearization; collective order
+    is uniform across the particle axis by construction.
 
     step(belief, z_obs) → (belief, mean_states (S, K, 13), ess (S,)),
     where z_obs is (S, N) sharded over the scene axis.
@@ -597,7 +659,7 @@ def make_multi_scene_step(mesh: Mesh, loglik_fn: Callable,
         out_specs=(sp, sp, sp, ss, ss, ss),
         check_vma=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(belief: ParticleBelief, z_obs):
         states, log_w, occ, keys, mean_states, ess = sharded(
             belief.states, belief.log_weights, belief.occlusion,
@@ -692,24 +754,26 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
                                               ln_local, 0.0)) \
                 + jnp.log(jnp.float32(p_local))
 
-            def local_resample(args, _k=jax.random.fold_in(k_res, blk)):
-                states, occ, old_ll, ln_l = args
-                parents = jnp.clip(
-                    rs.sorted_searchsorted_left(
-                        jnp.cumsum(jnp.exp(ln_l)),
-                        (jnp.arange(p_local, dtype=jnp.float32)
-                         + jax.random.uniform(_k, ())) / p_local),
-                    0, p_local - 1)
-                return (jnp.take(states, parents, axis=0),
-                        occ_gather(occ, parents),
-                        jnp.take(old_ll, parents, axis=0),
-                        jnp.full((p_local,),
-                                 -jnp.log(jnp.float32(p_local))))
-
-            states, occ, old_loglik, ln_local = jax.lax.cond(
-                kl_local > max_kl_divergence, local_resample,
-                lambda args: args,
-                (states, occ, old_loglik, ln_local))
+            # Local KL-triggered resample, cond-free (the rbcpf
+            # where-select pattern — DESIGN.md anti-pattern #1): the
+            # predicate is island-local (no collectives touched), so a
+            # non-uniform where is safe.
+            do_l = kl_local > max_kl_divergence
+            k_blk = jax.random.fold_in(k_res, blk)
+            parents = jnp.where(
+                do_l,
+                jnp.clip(rs.sorted_searchsorted_left(
+                    jnp.cumsum(jnp.exp(ln_local)),
+                    (jnp.arange(p_local, dtype=jnp.float32)
+                     + jax.random.uniform(k_blk, ())) / p_local),
+                    0, p_local - 1),
+                jnp.arange(p_local, dtype=jnp.int32))
+            states = jnp.take(states, parents, axis=0, mode="clip")
+            occ = occ_gather(occ, parents)
+            old_loglik = jnp.take(old_loglik, parents, axis=0,
+                                  mode="clip")
+            ln_local = jnp.where(
+                do_l, -jnp.log(jnp.float32(p_local)), ln_local)
 
         # --- island-level bookkeeping (scalar collectives only)
         b = b_acc
@@ -766,7 +830,7 @@ def make_island_step(mesh: Mesh, loglik_fn: Callable,
         out_specs=(pspec, pspec, pspec, rspec, rspec, rspec),
         check_vma=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(belief: ParticleBelief, z_obs):
         states, log_w, occ, key, mean_state, ess = sharded(
             belief.states, belief.log_weights, belief.occlusion,
