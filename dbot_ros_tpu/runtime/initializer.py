@@ -93,18 +93,34 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
                       depth_offsets=(0.0, 0.03, 0.06),
                       refine_particles: int = 256,
                       refine_steps: int = 4,
-                      key=None, return_beams: bool = False):
+                      key=None, return_beams: bool = False,
+                      fg_mask=None, scene_depth=None):
     """Search for the object pose in one frame → (pose (7,), score).
 
     The returned pose is in the *centered-mesh* frame (what the filters
     use); :func:`initialize_tracker` handles the model-frame conversion.
+
+    Multi-object hooks (used by :func:`find_initial_poses`):
+      * ``fg_mask`` (N,) bool restricts the foreground used for the
+        centroid seed and silhouette alignment to one object's pixel
+        cluster (scoring stays full-frame — constant across candidates);
+      * ``scene_depth`` (N,) is a depth render of already-placed objects:
+        candidates are scored min-combined with it (explaining-away — a
+        candidate hidden behind a placed object is not rewarded), and
+        alignment only trusts pixels where the candidate is in front.
     """
     bp = bp or beam_mod.make_beam_params()
     op = op or occ_mod.make_occlusion_params()
     key = key if key is not None else jax.random.PRNGKey(0)
 
     z = preprocess_depth(jnp.asarray(depth, jnp.float32).reshape(-1))
-    centroid, n_fg = segment_centroid(depth, camera, min_depth, max_depth)
+    fg_sel = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+    if fg_mask is not None:
+        fg_sel = fg_sel & jnp.asarray(fg_mask).reshape(-1)
+    pts = camera.rays * z[:, None]
+    masked = jnp.where(fg_sel[:, None], pts, jnp.nan)
+    centroid = jnp.nanmedian(masked, axis=0)
+    n_fg = jnp.sum(fg_sel)
 
     quats = orientation_candidates(n_axes, n_spins)      # (Q, 4)
     view = centroid / jnp.maximum(jnp.linalg.norm(centroid), 1e-6)
@@ -115,6 +131,8 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
 
     def score(poses):
         depth_pred = raycast_depth(mesh, poses, camera.rays)
+        if scene_depth is not None:
+            depth_pred = jnp.minimum(depth_pred, scene_depth[None, :])
         occ0 = jnp.full((poses.shape[0], camera.num_pixels),
                         op.initial_occlusion_prob)
         ll, _ = image_loglik(depth_pred, z, occ0, bp, op, 1.0)
@@ -126,7 +144,7 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
     # enough to bury the true orientation. Correct each candidate by the
     # robust depth offset (median of observed − predicted over the
     # overlap) and the silhouette-centroid shift (tangent plane), twice.
-    fg = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+    fg = fg_sel
     obs_cx = jnp.sum(jnp.where(fg, camera.rays[:, 0], 0.0)) \
         / jnp.maximum(jnp.sum(fg), 1.0)
     obs_cy = jnp.sum(jnp.where(fg, camera.rays[:, 1], 0.0)) \
@@ -135,6 +153,9 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
     def align(poses):
         pred = raycast_depth(mesh, poses, camera.rays)   # (C, N)
         on = jnp.isfinite(pred)
+        if scene_depth is not None:
+            # only trust pixels where the candidate is actually visible
+            on = on & (pred <= scene_depth[None, :] + 0.01)
         both = on & fg[None, :]
         nb = jnp.maximum(jnp.sum(both, axis=-1), 1.0)
         dz = jnp.where(both, z[None, :] - pred, jnp.nan)
@@ -180,15 +201,30 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
 
     for step in range(refine_steps):
         key, k1, k2 = jax.random.split(key, 3)
+        # Re-run the analytic position alignment every generation: with
+        # a ~5 mm beam sigma the correct basin is a needle in 6-DoF —
+        # random search alone lands the easy (broad, e.g. symmetric-flip)
+        # basins first. Aligning each beam's position analytically
+        # reduces the search to orientation, where the coverage grid +
+        # annealed proposals are dense enough. (Measured: the true L
+        # orientation scored 128 nats above the flipped one yet lost the
+        # refinement without this.)
+        beams = align(beams)
         # Wide first generation: a coarse-grid winner can sit ~40° from
         # its basin optimum (orientation grid spacing), so the first
-        # rotation proposal must cover that; anneal from there.
-        scale = 0.55 ** step
+        # rotation proposal must cover that. Anneal GEOMETRICALLY down
+        # to a fixed fine scale (~0.03 rad / 3 mm) whatever the step
+        # count: the beam model's ~5 mm sigma makes the optimum a
+        # needle, and a schedule that stops at coarse scales leaves the
+        # correct basin ~100 nats under-refined — enough for a broad
+        # symmetric-flip basin to outrank it (measured on the 2-object
+        # L scene).
+        frac = step / max(refine_steps - 1, 1)
+        rot_s = 0.55 * (0.03 / 0.55) ** frac
+        pos_s = 0.02 * (0.003 / 0.02) ** frac
         m = beams.shape[0]
-        dpos = 0.035 * scale * jax.random.normal(
-            k1, (m, refine_particles, 3))
-        drot = 0.55 * scale * jax.random.normal(
-            k2, (m, refine_particles, 3))
+        dpos = pos_s * jax.random.normal(k1, (m, refine_particles, 3))
+        drot = rot_s * jax.random.normal(k2, (m, refine_particles, 3))
         cands = jnp.concatenate([
             beams[:, None, :3] + dpos,
             se3.quat_boxplus(jnp.broadcast_to(
@@ -203,10 +239,140 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
         beam_ll = jnp.take_along_axis(ll_c, best_per_beam[:, None],
                                       axis=1)[:, 0]
 
+    # Polish: deterministic rotation coordinate descent + analytic
+    # position alignment. The anneal ladder locks basins but leaves
+    # beams up to ~0.15 rad / 40 nats under their optima — enough for a
+    # broad wrong basin (e.g. a near-symmetric flip) to outrank a
+    # narrow correct one, and enough that hypothesis particles seeded
+    # from an under-refined beam die before the filter can finish the
+    # job (weight decay beats in-filter random-walk refinement).
+    # Isotropic Gaussian polish crawls on likelihood ridges; a per-axis
+    # line search walks them directly.
+    offsets = jnp.array([-0.12, -0.06, -0.03, -0.015, -0.0075, 0.0,
+                         0.0075, 0.015, 0.03, 0.06, 0.12])
+    n_off = offsets.shape[0]
+    for _ in range(3):
+        beams = align(beams)
+        m = beams.shape[0]
+        for ax in range(3):
+            dr = jnp.zeros((n_off, 3)).at[:, ax].set(offsets)
+            q = se3.quat_boxplus(
+                jnp.broadcast_to(beams[:, None, 3:7], (m, n_off, 4)),
+                jnp.broadcast_to(dr[None], (m, n_off, 3)))
+            cands = jnp.concatenate([
+                jnp.broadcast_to(beams[:, None, :3], (m, n_off, 3)), q],
+                -1)
+            ll_c = score(cands.reshape(-1, 7)).reshape(m, n_off)
+            best_per_beam = jnp.argmax(ll_c, axis=1)
+            beams = jnp.take_along_axis(
+                cands, best_per_beam[:, None, None].repeat(7, -1),
+                axis=1)[:, 0]
+            beam_ll = jnp.take_along_axis(ll_c, best_per_beam[:, None],
+                                          axis=1)[:, 0]
+
     best = jnp.argmax(beam_ll)
     if return_beams:
         return beams[best], beam_ll[best], int(n_fg), beams, beam_ll
     return beams[best], beam_ll[best], int(n_fg)
+
+
+def _cluster_masks(z, camera: CameraModel, n_clusters: int,
+                   min_depth, max_depth, iters: int = 12):
+    """Partition foreground pixels into ``n_clusters`` 3-D k-means
+    clusters (host-side NumPy — init-time only) → list of (N,) masks.
+
+    Seeded by spreading centers along the principal axis of the
+    foreground point cloud, which separates side-by-side objects AND
+    front/behind mutual-occlusion configurations (depth is a coordinate).
+    """
+    zn = np.asarray(z, np.float64).reshape(-1)
+    fg = np.isfinite(zn) & (zn > min_depth) & (zn < max_depth)
+    idx = np.where(fg)[0]
+    masks_all = [np.zeros(zn.shape[0], bool) for _ in range(n_clusters)]
+    if idx.size < 2 * n_clusters:
+        for m in masks_all:
+            m[idx] = True
+        return [jnp.asarray(m) for m in masks_all]
+    p = np.asarray(camera.rays, np.float64)[idx] * zn[idx, None]
+    c0 = p.mean(0)
+    d = p - c0
+    ax = np.linalg.svd(d, full_matrices=False)[2][0]
+    t = d @ ax
+    qs = np.quantile(t, (np.arange(n_clusters) + 0.5) / n_clusters)
+    centers = c0 + qs[:, None] * ax
+    lab = np.zeros(idx.size, np.int64)
+    for _ in range(iters):
+        dist = ((p[:, None] - centers[None]) ** 2).sum(-1)
+        lab = dist.argmin(1)
+        for k in range(n_clusters):
+            sel = lab == k
+            if sel.any():
+                centers[k] = p[sel].mean(0)
+    for k in range(n_clusters):
+        masks_all[k][idx[lab == k]] = True
+    return [jnp.asarray(m) for m in masks_all]
+
+
+def find_initial_poses(depth, meshes, camera: CameraModel,
+                       bp: beam_mod.BeamParams = None,
+                       op: occ_mod.OcclusionParams = None,
+                       min_depth=0.3, max_depth=1.5, key=None, **kwargs):
+    """Joint K-object auto-init → (poses (K, 7) centered frame, scores).
+
+    The K ≥ 2 generalization of :func:`find_initial_pose` (R9/R11 for
+    multi-object scenes; reference: one interactive marker *per object*,
+    ``InteractiveMarkerInitializer`` holds a marker list): partition the
+    foreground into K 3-D clusters, then greedily assign (object mesh,
+    cluster) pairs best-score-first; each placed object is rendered into
+    a scene-depth buffer so later searches score candidates with
+    explaining-away (a candidate buried behind a placed object earns no
+    credit for those pixels) and later alignments ignore hidden pixels.
+    """
+    meshes = list(meshes)
+    num_objects = len(meshes)
+    z = preprocess_depth(jnp.asarray(depth, jnp.float32).reshape(-1))
+    key = key if key is not None else jax.random.PRNGKey(0)
+    return_beams = bool(kwargs.pop("return_beams", False))
+    if num_objects == 1:
+        out = find_initial_pose(
+            z, meshes[0], camera, bp=bp, op=op, min_depth=min_depth,
+            max_depth=max_depth, key=key, return_beams=return_beams,
+            **kwargs)
+        if return_beams:
+            pose, score, _, beams, beam_ll = out
+            return pose[None], jnp.asarray([score]), [(beams, beam_ll)]
+        pose, score, _ = out
+        return pose[None], jnp.asarray([score])
+
+    masks = _cluster_masks(z, camera, num_objects, min_depth, max_depth)
+    scene = None
+    placed = [None] * num_objects
+    scores = [None] * num_objects
+    obj_beams = [None] * num_objects
+    remaining_obj = list(range(num_objects))
+    remaining_clu = list(range(num_objects))
+    while remaining_obj:
+        best = None
+        for o in remaining_obj:
+            for c in remaining_clu:
+                key, k = jax.random.split(key)
+                pose, sc, _, beams, beam_ll = find_initial_pose(
+                    z, meshes[o], camera, bp=bp, op=op,
+                    min_depth=min_depth, max_depth=max_depth, key=k,
+                    fg_mask=masks[c], scene_depth=scene,
+                    return_beams=True, **kwargs)
+                if best is None or float(sc) > float(best[0]):
+                    best = (sc, o, c, pose, beams, beam_ll)
+        sc, o, c, pose, beams, beam_ll = best
+        placed[o], scores[o], obj_beams[o] = pose, sc, (beams, beam_ll)
+        remaining_obj.remove(o)
+        remaining_clu.remove(c)
+        pred = raycast_depth(meshes[o], pose, camera.rays)
+        pred = jnp.where(jnp.isfinite(pred), pred, jnp.inf)
+        scene = pred if scene is None else jnp.minimum(scene, pred)
+    if return_beams:
+        return jnp.stack(placed), jnp.stack(scores), obj_beams
+    return jnp.stack(placed), jnp.stack(scores)
 
 
 def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
@@ -229,7 +395,66 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
     """
     from dbot_ros_tpu.trackers import base
 
-    mesh = tracker.meshes[0] if hasattr(tracker, "meshes") else tracker.mesh
+    meshes = (list(tracker.meshes) if hasattr(tracker, "meshes")
+              else [tracker.mesh])
+    if len(meshes) > 1:
+        # K-object scene: joint greedy search with explaining-away, then
+        # per-object hypothesis beams combined as a PRODUCT space through
+        # the single hypothesis API — each particle's coordinate blocks
+        # are independent, so the union likelihood resolves every
+        # object's twin ambiguity independently (the near-symmetric-flip
+        # failure mode is per-object, e.g. a π-flipped L at coarse
+        # resolution).
+        import inspect
+        import itertools
+
+        poses_center, scores, obj_beams = find_initial_poses(
+            depth, meshes, tracker.camera, bp=tracker.beam_params,
+            return_beams=True, **kwargs)
+        centers = jnp.stack([m.center for m in meshes])
+        poses_model = base.to_model_frame(poses_center, centers)
+        hyp_kwargs = {}
+        if "hypotheses" in inspect.signature(
+                tracker.initialize).parameters:
+            per_obj = []
+            for o, (beams, beam_ll) in enumerate(obj_beams):
+                order = np.argsort(-np.asarray(beam_ll))
+                kept = [int(i) for i in order
+                        if float(beam_ll[i]) >= float(beam_ll.max())
+                        - hypothesis_margin][:4]
+                pm = jax.vmap(lambda p, _c=centers[o]:
+                              base.to_model_frame(p, _c))(
+                    beams[jnp.asarray(kept)])
+                per_obj.append(
+                    (pm, np.asarray(beam_ll)[kept]
+                     - float(beam_ll.max())))
+            if any(p[0].shape[0] > 1 for p in per_obj):
+                combos = sorted(
+                    itertools.product(*[range(p[0].shape[0])
+                                        for p in per_obj]),
+                    key=lambda c: -sum(per_obj[o][1][i]
+                                       for o, i in enumerate(c)))[:32]
+                hyp = jnp.stack([
+                    jnp.stack([per_obj[o][0][i]
+                               for o, i in enumerate(combo)])
+                    for combo in combos])                    # (H, K, 7)
+                logits = np.array([sum(per_obj[o][1][i]
+                                       for o, i in enumerate(combo))
+                                   for combo in combos], np.float32)
+                n_part = int(getattr(getattr(tracker, "config", None),
+                                     "evaluation_count", 1000))
+                temp = hypothesis_margin / float(np.log(max(n_part, 2)))
+                hyp_kwargs = dict(hypotheses=hyp,
+                                  hypothesis_logits=jnp.asarray(
+                                      logits / temp))
+        try:
+            tracker.initialize(poses_model, first_frame=depth,
+                               **hyp_kwargs)
+        except TypeError:
+            tracker.initialize(poses_model, **hyp_kwargs)
+        return poses_model, float(jnp.sum(scores))
+
+    mesh = meshes[0]
     pose_center, score, n_fg, beams, beam_ll = find_initial_pose(
         depth, mesh, tracker.camera, bp=tracker.beam_params,
         return_beams=True, **kwargs)

@@ -26,7 +26,12 @@ from typing import Optional
 class WatchdogConfig:
     ess_fraction_min: float = 0.02      # ESS below 2% of P → degenerate
     loglik_drop: float = 3.0            # absolute drop floor vs EMA (nats)
-    loglik_mad_factor: float = 10.0     # ... or this × the tracked MAD
+    # A lost object among K is a drop ∝ its pixel share, so the factor
+    # must catch diluted per-object signals: a 2-object teleport measured
+    # only ~6× the healthy MAD and PERSISTED — persistence is what
+    # separates a level shift from noise, so the bar is 3×MAD sustained
+    # for `patience` frames (the old one-shot 10× absorbed real losses).
+    loglik_mad_factor: float = 3.0      # ... or this × the tracked MAD
     beta_min: float = 0.05              # GF inlier-rate floor
     patience: int = 3                   # consecutive bad frames to trip
     ema_rate: float = 0.05              # baseline tracking rate
@@ -98,6 +103,12 @@ class TrackingWatchdog:
                 dev = abs(ll - self._loglik_ema)
                 self._loglik_ema = ((1 - c.ema_rate) * self._loglik_ema
                                     + c.ema_rate * ll)
+                # Robustified MAD: clip the contribution so a real but
+                # sub-threshold level shift cannot inflate the noise
+                # estimate and mask itself (mean-abs-dev is not a median;
+                # without the clip one outlier raises the threshold that
+                # is supposed to catch it).
+                dev = min(dev, max(2.0 * self._loglik_mad, c.loglik_drop))
                 self._loglik_mad = ((1 - c.ema_rate) * self._loglik_mad
                                     + c.ema_rate * dev)
 

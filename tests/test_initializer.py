@@ -184,3 +184,31 @@ def test_hypothesis_allocation_tempering():
     b2 = rbcpf.init_belief(jax.random.PRNGKey(0), poses, P, 16,
                            hypothesis_logits=beam_ll)
     assert int(np.sum(np.asarray(b2.states[:, 0, 0]) > 0.05)) == 0
+
+
+def test_find_initial_poses_two_objects():
+    """K=2 joint auto-init (R9/R11 multi-object): greedy (mesh, cluster)
+    assignment with explaining-away must place BOTH objects, matched to
+    the right mesh."""
+    from dbot_ros_tpu.runtime.initializer import find_initial_poses
+    from dbot_ros_tpu.utils.mesh import box_mesh
+
+    cam = cam32()
+    m_l = l_shape_mesh()
+    m_box = box_mesh(0.05, 0.07, 0.03)
+    pose_l = jnp.concatenate([jnp.array([-0.07, 0.0, 0.62]),
+                              se3.quat_identity()])
+    pose_box = jnp.concatenate([jnp.array([0.08, 0.02, 0.55]),
+                                se3.quat_identity()])
+    d = jnp.minimum(raycast_depth(m_l, pose_l, cam.rays, 128),
+                    raycast_depth(m_box, pose_box, cam.rays, 128))
+    z = jnp.where(jnp.isfinite(d), d, jnp.nan)
+
+    poses, scores = find_initial_poses(
+        z, [m_l, m_box], cam, n_axes=6, n_spins=4,
+        refine_particles=128, refine_steps=3)
+    assert poses.shape == (2, 7)
+    err_l = float(jnp.linalg.norm(poses[0, :3] - pose_l[:3]))
+    err_box = float(jnp.linalg.norm(poses[1, :3] - pose_box[:3]))
+    assert err_l < 0.05, (err_l, np.asarray(poses))
+    assert err_box < 0.05, (err_box, np.asarray(poses))
