@@ -23,6 +23,7 @@ class FrameMetrics:
     mean_loglik: Optional[float] = None
     mean_beta: Optional[float] = None     # gaussian filter inlier rate
     innovation_rms: Optional[float] = None
+    skipped: Optional[int] = None         # frames dropped by a push source
 
     @classmethod
     def from_info(cls, frame: int, info, latency_s: float):

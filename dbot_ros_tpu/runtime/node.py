@@ -138,7 +138,9 @@ def run(tracker, source, initial_pose=None,
         if frame.ground_truth is not None:
             gt = np.asarray(frame.ground_truth)
             gt_out.append(gt if gt.ndim == 2 else gt[None])
-        log.append(FrameMetrics.from_info(frame.index, info, latency))
+        m = FrameMetrics.from_info(frame.index, info, latency)
+        m.skipped = getattr(frame, "skipped", None)
+        log.append(m)
         if on_frame is not None:
             on_frame(frame, poses, info)
         if watchdog is not None and watchdog.update(info, num_particles):

@@ -31,6 +31,7 @@ class Frame:
     index: int
     depth: np.ndarray                       # (H, W) float32, NaN = invalid
     ground_truth: Optional[np.ndarray] = None  # (K, 7) model-frame poses
+    skipped: int = 0    # frames dropped since the last one (push sources)
 
 
 class ReplaySource:
@@ -208,3 +209,101 @@ class SyntheticSource:
             self.key, k = jax.random.split(self.key)
             z = self._render(poses, k)
             yield Frame(t, np.asarray(z), np.asarray(poses))
+
+
+class ThreadedSource:
+    """Push-based frame ingestion decoupled from tracking (ref R5/P4).
+
+    The reference's camera is a ROS subscriber callback on its own
+    thread, decoupled from the tracking loop so a slow tracker never
+    blocks the driver and always sees the freshest frame
+    (``ObjectTrackerRos`` run-loop). Here the decoupling is the native
+    SPSC ``native.FrameRing`` (drop-oldest): a producer — either an
+    internal thread replaying ``inner``, or any external camera thread
+    calling :meth:`push` — writes frames into the ring; iteration pops
+    the LATEST frame and reports how many were dropped since the last
+    pop (``Frame.skipped`` → the skipped-frame metric).
+
+    Modes:
+      * ``ThreadedSource(inner, rate_hz=...)`` — replay an iterable
+        source from a producer thread at ``rate_hz`` (None = flat out;
+        the tracker keeps up only with the freshest frames);
+      * ``ThreadedSource(frame_shape=(H, W))`` — externally-driven: a
+        camera callback calls ``push(depth, ...)`` and ``close()``.
+    """
+
+    def __init__(self, inner=None, frame_shape=None, capacity: int = 8,
+                 rate_hz: Optional[float] = None):
+        import threading
+
+        if inner is None and frame_shape is None:
+            raise ValueError("need an inner source or a frame_shape")
+        self.inner = inner
+        self.rate_hz = rate_hz
+        self.capacity = capacity
+        self.skipped_total = 0
+        self._gt = {}
+        self._count = 0
+        self._last_idx = -1
+        self._done = threading.Event()
+        self._started = False
+        self._ring = None
+        if frame_shape is not None:
+            from dbot_ros_tpu.native import FrameRing
+            self._ring = FrameRing(tuple(frame_shape), capacity)
+
+    def push(self, depth, index: Optional[int] = None, ground_truth=None):
+        """Producer side (any thread): enqueue a frame, drop-oldest."""
+        depth = np.ascontiguousarray(depth, np.float32)
+        if self._ring is None:
+            from dbot_ros_tpu.native import FrameRing
+            self._ring = FrameRing(depth.shape, self.capacity)
+        if index is None:
+            index = self._count
+        if ground_truth is not None:
+            self._gt[int(index)] = np.asarray(ground_truth)
+        self._ring.push(depth, float(index))
+        self._count += 1
+
+    def close(self):
+        """Producer side: no more frames will be pushed."""
+        self._done.set()
+
+    def _producer(self):
+        import time as _time
+
+        try:
+            for fr in self.inner:
+                self.push(fr.depth, fr.index, fr.ground_truth)
+                if self.rate_hz:
+                    _time.sleep(1.0 / self.rate_hz)
+        finally:
+            self._done.set()
+
+    def __iter__(self) -> Iterator[Frame]:
+        import threading
+        import time as _time
+
+        if self.inner is not None and not self._started:
+            self._started = True
+            threading.Thread(target=self._producer, daemon=True).start()
+        while True:
+            item = self._ring.pop_latest() if self._ring is not None \
+                else None
+            if item is None:
+                if self._done.is_set() and (
+                        self._ring is None or len(self._ring) == 0):
+                    return
+                _time.sleep(0.001)
+                continue
+            depth, stamp, _ring_skips = item
+            idx = int(stamp)
+            # index continuity counts EVERY drop — ring-overwrite at push
+            # time as well as stale frames skipped at pop time
+            skipped = max(idx - self._last_idx - 1, 0)
+            self._last_idx = idx
+            self.skipped_total += skipped
+            gt = self._gt.pop(idx, None)
+            # prune ground truths of dropped frames
+            self._gt = {k: v for k, v in self._gt.items() if k > idx}
+            yield Frame(idx, depth, gt, skipped=skipped)

@@ -297,3 +297,77 @@ def test_metrics_jsonl(tmp_path):
     assert len(open(path).readlines()) == 2
     assert log.resample_count() == 1
     assert abs(log.mean_latency() - 0.15) < 1e-9
+
+
+def test_threaded_source_drop_oldest_external_push():
+    """External-push mode: a fast producer fills the ring; the consumer
+    must get the FRESHEST frame with an accurate skipped count."""
+    from dbot_ros_tpu.runtime.sources import ThreadedSource
+
+    src = ThreadedSource(frame_shape=(4, 4), capacity=4)
+    for i in range(10):
+        src.push(np.full((4, 4), float(i), np.float32),
+                 ground_truth=np.array([[0, 0, 0.5 + i, 1, 0, 0, 0]],
+                                       np.float32))
+    src.close()
+    frames = list(src)
+    # ring capacity 4 → at most 4 frames survive; the LAST pushed frame
+    # must be among them and must be the final one yielded
+    assert frames, "no frames popped"
+    assert float(frames[-1].depth[0, 0]) == 9.0
+    assert frames[0].skipped >= 6          # push-overwritten drops counted
+    assert sum(f.skipped for f in frames) + len(frames) == 10
+    # ground truth follows the surviving frame
+    assert frames[-1].ground_truth[0, 2] == 0.5 + 9
+
+
+def test_threaded_source_closed_loop_producer_outruns_tracker():
+    """VERDICT r3 item 6: producer thread replays frames flat-out while
+    the (slower) tracker consumes through node.run — the tracker must
+    drop stale frames, stay on the freshest, and still track."""
+    import jax.numpy as jnp
+
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.runtime import node
+    from dbot_ros_tpu.runtime.sources import SyntheticSource, ThreadedSource
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh
+    from dbot_ros_tpu.utils import se3
+
+    K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    config = cfg.ParticleTrackerConfig(
+        evaluation_count=128, max_kl_divergence=0.8,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(0.4, 1.5, damping=8.0), seed=0)
+    tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
+    start = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    n_frames = 60
+
+    def traj(t):
+        return (start.at[0].add(0.0008 * t))[None]
+
+    inner = SyntheticSource([mesh], cam, traj, num_frames=n_frames,
+                            noise_sigma=0.002, seed=3)
+    # warm the jit first (a live camera doesn't wait for compilation),
+    # then stream with the producer outrunning the tracker
+    warm = next(iter(SyntheticSource([mesh], cam, traj, num_frames=1,
+                                     noise_sigma=0.002, seed=3)))
+    tracker.initialize(warm.ground_truth)
+    tracker.track(warm.depth)
+    tracker.initialize(warm.ground_truth)
+    src = ThreadedSource(inner, capacity=4, rate_hz=300.0)
+    run = node.run(tracker, src)
+    assert run.poses.shape[0] < n_frames, "tracker never dropped a frame"
+    assert src.skipped_total > 0
+    assert run.poses.shape[0] + src.skipped_total == n_frames
+    # skipped counts surfaced in the metrics stream
+    assert any((m.skipped or 0) > 0 for m in run.metrics.records)
+    # stayed on the freshest frames: final estimate matches the final gt
+    err = np.linalg.norm(run.poses[-1, 0, :3]
+                         - np.asarray(traj(n_frames - 1))[0, :3])
+    assert err < 0.02, err
