@@ -84,6 +84,30 @@ def _summarize(run, label: str):
     return out
 
 
+def _make_overlay(args, tracker):
+    every = getattr(args, "overlay_every", 0) or 0
+    if every <= 0:
+        return None
+    from dbot_ros_tpu.runtime.overlay import make_overlay_hook
+    out = getattr(args, "overlay_dir", None) or "overlays"
+    return make_overlay_hook(tracker.meshes, tracker.camera, out,
+                             every=every)
+
+
+def _chain_hooks(*hooks):
+    hooks = [h for h in hooks if h is not None]
+    if not hooks:
+        return None
+    if len(hooks) == 1:
+        return hooks[0]
+
+    def chained(frame, poses, info):
+        for h in hooks:
+            h(frame, poses, info)
+
+    return chained
+
+
 def _make_watchdog(args):
     if not getattr(args, "watchdog", False):
         return None
@@ -125,7 +149,8 @@ def cmd_track(args):
         # With --auto-init the tracker is already initialized above and
         # node.run skips initialization when initial_pose is None.
         run = node.run(tracker, source, initial_pose=initial,
-                       on_frame=publisher,
+                       on_frame=_chain_hooks(publisher,
+                                             _make_overlay(args, tracker)),
                        checkpoint_path=args.checkpoint,
                        checkpoint_every=args.checkpoint_every,
                        watchdog=_make_watchdog(args),
@@ -153,7 +178,8 @@ def cmd_simulate(args):
                              num_frames=args.frames,
                              noise_sigma=args.noise_sigma,
                              dropout_prob=args.dropout, seed=args.seed)
-    run = node.run(tracker, source, watchdog=_make_watchdog(args))
+    run = node.run(tracker, source, watchdog=_make_watchdog(args),
+                   on_frame=_make_overlay(args, tracker))
     out = _summarize(run, "simulate")
     if args.max_rmse is not None and out["position_rmse_m"] > args.max_rmse:
         print(f"FAIL: position RMSE {out['position_rmse_m']:.4f} > "
@@ -187,6 +213,9 @@ def cmd_record(args):
 
 
 def _add_sim_args(p):
+    p.add_argument("--overlay-every", type=int, default=0, metavar="N",
+                   help="write a silhouette-overlay PNG every N frames")
+    p.add_argument("--overlay-dir", default="overlays")
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--trajectory",
                    choices=("drift", "circle", "teleport"),
@@ -224,6 +253,11 @@ def main(argv=None):
                          help="serve the JSON control service (ref M3: "
                               "status/pause/reset_pose/find_object/"
                               "checkpoint/shutdown) on this Unix socket")
+    p_track.add_argument("--overlay-every", type=int, default=0,
+                         metavar="N",
+                         help="write a silhouette-overlay PNG every N "
+                              "frames (the RViz mesh-marker analog)")
+    p_track.add_argument("--overlay-dir", default="overlays")
     p_track.set_defaults(fn=cmd_track)
 
     p_sim = sub.add_parser("simulate",
