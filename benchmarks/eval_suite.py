@@ -99,7 +99,9 @@ def trajectories(kind, start):
 
 
 def make_source(kind, cam, mesh, occluder, frames, seed=0):
-    from dbot_ros_tpu.runtime.sources import OracleSource
+    from dbot_ros_tpu.runtime.sources import (OracleSource,
+                                              U16CameraAdapter,
+                                              scale_camera)
     from dbot_ros_tpu.utils import se3
 
     start = jnp.concatenate([jnp.array([0.0, 0.0, 0.55]),
@@ -109,6 +111,16 @@ def make_source(kind, cam, mesh, occluder, frames, seed=0):
     if kind == "two_obj":
         return OracleSource(meshes, cam, traj, num_frames=frames,
                             noise_sigma=0.003, seed=seed)
+    if kind == "sensor_u16":
+        # the full reference camera transport: oracle render at the
+        # native (4x) sensor grid with Kinect-class edge artifacts, u16
+        # millimeter wire format, NATIVE preprocess_depth_u16 strided
+        # downsample back to the tracker camera (R7/R8 ri::to_eigen)
+        native = scale_camera(cam, 4)
+        inner = OracleSource(mesh, native, traj, num_frames=frames,
+                             noise_sigma=0.003, seed=seed,
+                             edge_artifacts=0.15, quantize_mm=True)
+        return U16CameraAdapter(inner, downsampling=4)
     kw = {}
     if kind == "occluder":
         # bar sweeps left->right across the object over frames 8..32,
@@ -143,7 +155,7 @@ def make_tracker(estimator, cam, mesh, particles, scenario="nominal"):
         # (measured: rot RMSE 0.55 → 0.13 rad on nominal)
         conf = cfg.GaussianTrackerConfig(observation=obs, transition=trans,
                                          update_iterations=6,
-                                         trust_sigma=2.0)
+                                         trust_sigma=1.5)
         return GaussianTracker(conf, meshes=meshes, camera=cam)
     from dbot_ros_tpu.trackers.particle import ParticleTracker
     backend = estimator.replace("pf-", "")
@@ -165,7 +177,8 @@ def make_tracker(estimator, cam, mesh, particles, scenario="nominal"):
     return ParticleTracker(conf, meshes=meshes, camera=cam)
 
 
-SCENARIOS = ("nominal", "occluder", "dropout", "fast_rot", "two_obj")
+SCENARIOS = ("nominal", "occluder", "dropout", "fast_rot", "two_obj",
+             "sensor_u16")
 ESTIMATORS = ("pf-xla", "pf-deferred", "pf-pallas", "rgf")
 
 
@@ -194,15 +207,24 @@ def main():
             src = make_source(scen, cam, mesh, occluder, frames)
             try:
                 run = node.run(tracker, src)
+                # two_obj: object 1 is a box — report rotation modulo its
+                # 4-element symmetry group (a naive quat metric mixes
+                # genuine error with symmetry aliasing, VERDICT r3 item 5)
+                sym = None
+                if scen == "two_obj":
+                    from dbot_ros_tpu.utils.se3 import box_symmetry_quats
+                    sym = [None, box_symmetry_quats()]
                 rec = {
                     "pos_rmse_m": round(run.position_rmse(), 5),
-                    "rot_rmse_rad": round(run.rotation_rmse(), 4),
+                    "rot_rmse_rad": round(run.rotation_rmse(sym), 4),
                     # worst-case over the back half (post-burn-in): the
                     # stress protocols hurt mid-sequence
                     "pos_max_m": round(float(
                         run.position_errors()[frames // 3:].max()), 5),
                     "wall_s": round(time.time() - t0, 1),
                 }
+                if scen == "two_obj":
+                    rec["rot_rmse_naive"] = round(run.rotation_rmse(), 4)
             except Exception as e:  # pragma: no cover - report, don't die
                 rec = {"error": f"{type(e).__name__}: {e}"}
             results[f"{scen}/{est}"] = rec
@@ -252,11 +274,29 @@ def main():
         "Notes:",
         "",
         "- **occluder/rgf**: the RGF drifts a few cm while the bar "
-        "covers the object (the visible-fragment pull is bounded by the "
-        "occluder-evidence-gated trust region, filters/rgf.py) and "
-        "re-acquires once it passes; the PF's Rao-Blackwellized "
-        "occlusion chain tracks straight through (2.4 mm) — the papers' "
-        "qualitative PF-vs-GF comparison.",
+        "covers the object and usually re-acquires position once it "
+        "passes, but the crossing is BIMODAL in rotation: across seeds "
+        "0-3 the post-crossing rotation either recovers (~0.13 rad) or "
+        "locks into a wrong basin (~0.9-1.2 rad) — a structural "
+        "unimodal-GF limitation (the bar bisects the object; the "
+        "linearization's recovery radius is the probe width). Round-4 "
+        "work (annealed linearization floor + mixture-prior fix) halved "
+        "nominal rot RMSE (0.136 → 0.073) and the occluder worst-case "
+        "position (0.19 → 0.095 m over 4 seeds) but did not remove the "
+        "bimodality; tighter/looser trust regions and misfit-adaptive "
+        "probe widening all measured worse (see git history). The PF's "
+        "Rao-Blackwellized occlusion chain tracks straight through "
+        "(2.4 mm) — the papers' qualitative PF-vs-GF comparison, "
+        "sharpened.",
+        "- **two_obj** rotation is reported modulo the box's 4-element "
+        "symmetry group (`rot_rmse_naive` in eval_results.json keeps "
+        "the unquotiented number): the box's π-flips are genuinely "
+        "unidentifiable, not tracking error.",
+        "- **sensor_u16** runs the full reference camera transport: "
+        "native-resolution (4×) oracle render, Kinect-class edge "
+        "artifacts (15 % shadow/flying pixels at discontinuities), u16 "
+        "millimeter quantization, and the NATIVE preprocess_depth_u16 "
+        "strided downsample (R7/R8).",
         "- **fast_rot**: process noise is matched to the scenario "
         "(angular σ 6.0 vs 2.5 — with 2.5 every estimator loses the "
         "4.3 rad/s spin at ~2 rad RMSE).",

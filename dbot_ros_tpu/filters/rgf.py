@@ -192,10 +192,26 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # the *linearization* covariance (never the belief) keeps edges
     # observable at sub-pixel convergence; H stays a valid linearization,
     # just computed over a wider probe region.
-    floor = jnp.tile(jnp.concatenate([
-        jnp.full((3,), lin_floor_pos ** 2),
-        jnp.full((3,), lin_floor_rot ** 2),
-        jnp.zeros((6,))]), K).astype(P.dtype)
+    #
+    # The floor ANNEALS with the belief (VERDICT r3 item 4): a wide probe
+    # is a smoothing kernel over the discontinuous render, so holding it
+    # at the configured maximum after convergence biases the
+    # linearization by the probe width (measured ~2× the PF's rot RMSE
+    # on nominal). Track ~1.5× the current marginal std per block,
+    # clamped to [¼·floor, floor] — wide while uncertain (init,
+    # occlusion recovery), tight once converged, never fully closed
+    # (silhouette observability needs a minimum probe).
+    diagP = jnp.diagonal(P).reshape(K, 12)
+    pos_std = jnp.sqrt(jnp.mean(diagP[:, 0:3], axis=-1))
+    rot_std = jnp.sqrt(jnp.mean(diagP[:, 3:6], axis=-1))
+    fp = jnp.clip(1.5 * pos_std, 0.25 * lin_floor_pos, lin_floor_pos)
+    fr = jnp.clip(1.5 * rot_std, 0.25 * lin_floor_rot, lin_floor_rot)
+    floor = jnp.concatenate([
+        jnp.concatenate([jnp.full((3,), fp[k] ** 2),
+                         jnp.full((3,), fr[k] ** 2),
+                         jnp.zeros((6,))]) for k in range(K)
+    ]).astype(P.dtype)
+
     P_lin = P + jnp.diag(floor)
 
     def linearize(mean):
@@ -250,15 +266,20 @@ def update(belief: GaussianBelief, z_obs, render_fn,
         valid = jnp.isfinite(z_obs) & (z_obs >= bp.min_depth) \
             & (z_obs <= bp.max_depth)
         y = jnp.where(valid, z_obs, 1.0)
+        # Invalid-branch masses carry the same (1 - tail_weight)
+        # component prior as the valid-branch densities — without it the
+        # mixture is inconsistent across branches and invalid-pixel
+        # responsibilities skew ~2 % toward obj/bg (advisor r3).
         c_obj = jnp.where(
             valid,
             p_hit * (1.0 - bp.tail_weight) * _gauss(y, m, s_yy + R),
-            p_hit * bp.p_invalid_visible)
+            p_hit * (1.0 - bp.tail_weight) * bp.p_invalid_visible)
         c_bg = jnp.where(
             valid,
             (1.0 - p_hit) * (1.0 - bp.tail_weight)
             * _gauss(y, bg, bg_sigma_sq + R),
-            (1.0 - p_hit) * bp.p_invalid_background)
+            (1.0 - p_hit) * (1.0 - bp.tail_weight)
+            * bp.p_invalid_background)
         front = p_hit * m + (1.0 - p_hit) * bg
         c_clut = jnp.where(
             valid,

@@ -421,9 +421,15 @@ def grouped_lane_gather(q, idx, n_pad: int, pr: int):
     return chain(q)
 
 
+# Source-row-group window the routing kernel is built for; the caller's
+# span predicate MUST use the same constant (a wider span would silently
+# read outside the routing window and return wrong lineage data).
+LINEAGE_SPAN_CAP = 2
+
+
 def lineage_gather_pallas(q, idx, n_pad: int, pr: int,
                           interpret: bool = False, nblk: int = 64,
-                          span_cap: int = 2):
+                          span_cap: int = LINEAGE_SPAN_CAP):
     """Resampling lineage gather as ONE Pallas pass over the kernel layout.
 
     ``out[n, r', m] = q[n, gb, lane]`` for parent ``idx[r'·128+m] =
@@ -912,7 +918,8 @@ class FusedSensor:
                 return jnp.take(view, idx_full, axis=1,
                                 mode="clip").reshape(n_pad * pr_out, 128)
 
-            out = jax.lax.cond(span <= 2, fast, slow, occ_k)
+            out = jax.lax.cond(span <= LINEAGE_SPAN_CAP, fast,
+                               slow, occ_k)
         elif self.lineage_gather == "grouped" and same:
             out = grouped_lane_gather(occ_k, idx_full, n_pad, pr_out)
         elif self.lineage_gather == "windowed" and same:

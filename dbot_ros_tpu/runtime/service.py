@@ -151,9 +151,27 @@ class TrackerService:
     # ---------------------------------------------------------------- server
     def _serve(self, path: str):
         if os.path.exists(path):
-            os.unlink(path)
+            # refuse to yank a LIVE tracker's control socket: only
+            # reclaim the path if nothing answers a connect probe
+            # (stale socket from a crashed process)
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            probe.settimeout(0.2)
+            try:
+                probe.connect(path)
+            except OSError:
+                os.unlink(path)
+            else:
+                probe.close()
+                raise RuntimeError(
+                    f"control socket {path!r} is in use by a live "
+                    "process; choose another path")
+            finally:
+                probe.close()
         self._server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._server.bind(path)
+        # owner-only: shutdown / checkpoint-to-arbitrary-path commands
+        # must not be issuable by any local user
+        os.chmod(path, 0o600)
         self._server.listen(4)
         self._server.settimeout(0.2)
         self._thread = threading.Thread(target=self._accept_loop,

@@ -100,7 +100,23 @@ class OracleSource:
                  num_frames: int, noise_sigma: float = 0.003,
                  background_depth: float = 2.0, seed: int = 0,
                  occluder: TriangleMesh = None, occluder_fn=None,
-                 dropout_prob: float = 0.0, dropout_frames=None):
+                 dropout_prob: float = 0.0, dropout_frames=None,
+                 edge_artifacts: float = 0.0, edge_threshold: float = 0.03,
+                 quantize_mm: bool = False):
+        """Extra realism knobs (SURVEY §4 acceptance tier; VERDICT r3
+        item 7 — Kinect-class artifact models):
+
+          * ``edge_artifacts``: probability that a pixel adjacent to a
+            depth discontinuity (> ``edge_threshold`` m vs a 4-neighbor)
+            misbehaves — half the draws return NaN (edge shadow: the
+            structured-light correlator fails at silhouette boundaries),
+            the other half return a neighboring surface's depth (flying
+            pixels / lateral noise);
+          * ``quantize_mm``: round depth to whole millimeters — the u16
+            sensor transport quantization (pair with
+            :class:`U16CameraAdapter` to exercise the full native
+            conversion pipeline).
+        """
         from dbot_ros_tpu.ops.raycast import raycast_oracle
         from dbot_ros_tpu.trackers.base import to_center_frame
 
@@ -127,11 +143,28 @@ class OracleSource:
                 depth = jnp.minimum(depth, d)
             z = jnp.where(jnp.isfinite(depth), depth,
                           jnp.float32(background_depth))
-            k1, k2 = jax.random.split(key)
+            k1, k2, k3, k4 = jax.random.split(key, 4)
             if noise_sigma > 0:
                 z = z + noise_sigma * jax.random.normal(k1, z.shape)
+            if edge_artifacts > 0:
+                z2 = z.reshape(camera.height, camera.width)
+                shift = [jnp.roll(z2, s, axis=a)
+                         for a in (0, 1) for s in (1, -1)]
+                edge = jnp.zeros_like(z2, bool)
+                for nb in shift:
+                    edge = edge | (jnp.abs(z2 - nb) > edge_threshold)
+                hit = jax.random.bernoulli(k3, edge_artifacts, z2.shape)
+                mode = jax.random.bernoulli(k4, 0.5, z2.shape)
+                # flying pixel: adopt the left/up neighbor's depth
+                fly = jnp.where(mode, shift[0], shift[2])
+                z2 = jnp.where(edge & hit,
+                               jnp.where(mode, fly, jnp.nan), z2)
+                z = z2.reshape(-1)
             drop = jax.random.bernoulli(k2, dropout_p, z.shape)
-            return jnp.where(drop, jnp.nan, z)
+            z = jnp.where(drop, jnp.nan, z)
+            if quantize_mm:
+                z = jnp.round(z * 1000.0) / 1000.0
+            return z
 
         self._render = jax.jit(render)
 
@@ -307,3 +340,52 @@ class ThreadedSource:
             # prune ground truths of dropped frames
             self._gt = {k: v for k, v in self._gt.items() if k > idx}
             yield Frame(idx, depth, gt, skipped=skipped)
+
+
+class U16CameraAdapter:
+    """The reference's camera transport pipeline, end to end (R7/R8).
+
+    Wraps a native-resolution source of float-meter frames and applies
+    what ``RosCameraDataProvider`` + ``ri::to_eigen`` do to a real
+    Kinect stream: float meters → **uint16 millimeters** (the sensor
+    wire format: quantization + 0 = invalid) → the native
+    ``preprocess_depth_u16`` conversion (C++ strided downsample,
+    mm → m, 0 → NaN). The tracker downstream sees exactly what it
+    would see from recorded sensor data.
+
+    The inner source renders at ``downsampling ×`` the tracker camera's
+    resolution (build it with a scaled-up camera); ground truth passes
+    through untouched.
+    """
+
+    def __init__(self, inner, downsampling: int):
+        self.inner = inner
+        self.downsampling = int(downsampling)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self) -> Iterator[Frame]:
+        from dbot_ros_tpu.native import preprocess_depth_u16
+
+        for fr in self.inner:
+            cam = getattr(self.inner, "camera", None)
+            d = np.asarray(fr.depth, np.float32)
+            if d.ndim == 1 and cam is not None:
+                d = d.reshape(cam.height, cam.width)
+            mm = np.round(d * 1000.0)
+            mm = np.where(np.isfinite(mm) & (mm > 0) & (mm < 65536),
+                          mm, 0.0).astype(np.uint16)
+            depth = preprocess_depth_u16(mm, self.downsampling)
+            yield Frame(fr.index, depth, fr.ground_truth,
+                        getattr(fr, "skipped", 0))
+
+
+def scale_camera(camera: CameraModel, factor: int) -> CameraModel:
+    """A camera with ``factor``× the resolution/intrinsics — the native
+    sensor grid whose strided downsample lands back on ``camera``."""
+    from dbot_ros_tpu.utils.camera import make_camera
+
+    K = np.asarray(camera.camera_matrix, np.float64).copy()
+    K[:2, :] *= factor
+    return make_camera(K, camera.height * factor, camera.width * factor)

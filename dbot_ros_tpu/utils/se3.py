@@ -299,3 +299,39 @@ def states_mean(states, weights=None):
                               1e-20)
     qm = qm * jnp.where(qm[..., :1] < 0, -1.0, 1.0)
     return jnp.concatenate([lin[..., :3], qm, lin[..., 7:13]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Symmetry-aware rotation error (evaluation metric)
+# ---------------------------------------------------------------------------
+
+def box_symmetry_quats(include_identity: bool = True):
+    """Proper rotational symmetry group of a generic cuboid (distinct
+    extents): {identity, pi about x, pi about y, pi about z}.
+
+    A plain-quaternion rotation error is meaningless against a box —
+    the pose is only identifiable up to this group (VERDICT r3 item 5:
+    without the quotient, two-object box RMSE mixes genuine error with
+    symmetry aliasing).
+    """
+    quats = [jnp.array([1.0, 0.0, 0.0, 0.0])] if include_identity else []
+    for ax in range(3):
+        v = jnp.zeros((3,)).at[ax].set(jnp.pi)
+        quats.append(so3_exp_quat(v))
+    return jnp.stack(quats)
+
+
+def rotation_error_symmetric(q_est, q_gt, sym_quats):
+    """Rotation error modulo a discrete symmetry group.
+
+    ``min_s ||log(q_est ⊗ (q_gt ⊗ s)⁻¹)||`` over ``sym_quats`` (S, 4):
+    the smallest geodesic distance from the estimate to ANY equivalent
+    ground-truth orientation. Shapes: q_est/q_gt (..., 4) broadcast
+    against the group axis.
+    """
+    sym_quats = jnp.asarray(sym_quats, jnp.float32)
+    cand = quat_multiply(q_gt[..., None, :],
+                         sym_quats[(None,) * (q_gt.ndim - 1)])
+    err = jnp.linalg.norm(
+        quat_boxminus(q_est[..., None, :], cand), axis=-1)
+    return jnp.min(err, axis=-1)

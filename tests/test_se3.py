@@ -143,3 +143,25 @@ def test_states_mean_weighted():
     np.testing.assert_allclose(m[:3], states[5, :3], atol=1e-5)
     dq = se3.quat_boxminus(m[3:7], states[5, 3:7])
     assert float(jnp.linalg.norm(dq)) < 1e-3
+
+
+def test_rotation_error_symmetric_quotients_box_flips():
+    from dbot_ros_tpu.utils import se3 as s3
+    import jax.numpy as jnp
+
+    sym = s3.box_symmetry_quats()
+    q_gt = s3.so3_exp_quat(jnp.array([0.2, -0.1, 0.4]))
+    # estimate = gt composed with a pi-flip about y (a box symmetry)
+    q_est = s3.quat_multiply(q_gt, s3.so3_exp_quat(jnp.array([0., np.pi, 0.])))
+    plain = float(jnp.linalg.norm(s3.quat_boxminus(q_est, q_gt)))
+    assert plain > 3.0                        # naive metric: ~pi
+    assert float(s3.rotation_error_symmetric(q_est, q_gt, sym)) < 1e-5
+    # a genuine 0.3-rad error stays 0.3 under the quotient
+    q_bad = s3.quat_multiply(s3.so3_exp_quat(jnp.array([0., 0., 0.3])), q_gt)
+    e = float(s3.rotation_error_symmetric(q_bad, q_gt, sym))
+    assert abs(e - 0.3) < 0.02, e
+    # batched shapes
+    qe = jnp.stack([q_est, q_bad])
+    qg = jnp.stack([q_gt, q_gt])
+    out = s3.rotation_error_symmetric(qe, qg, sym)
+    assert out.shape == (2,)
