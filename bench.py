@@ -126,12 +126,44 @@ def main():
         ms = 1e3 * min(fwindow() for _ in range(windows))
         full_step[tag] = {"ms": round(ms, 3), "hz": round(1e3 / ms, 1)}
 
+    # --- north star #3 hardware proxy: axis-size-1 shard_map step vs
+    # the plain step above — certifies the distributed machinery runs at
+    # parity on one chip (the cond-free resample, docs/SCALING.md).
+    # Guarded: a tunnel hiccup here must not cost the round's artifact.
+    dist_axis1 = None
+    try:
+        from dbot_ros_tpu.parallel import dist_filter
+
+        mesh1 = dist_filter.make_particle_mesh(1)
+        dbelief = dist_filter.init_distributed_belief(
+            jax.random.PRNGKey(0), ref, P, mesh1, n_pix, sensor=sensor)
+        dstep = dist_filter.make_distributed_step(
+            mesh1, sensor, tp, 1.0 / 30.0, max_kl_divergence=1.0)
+        dbelief, dms, dess = dstep(dbelief, z_obs)
+        jax.block_until_ready((dbelief, dms))
+
+        def dwindow():
+            nonlocal dbelief
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                dbelief, dms, dess = dstep(dbelief, z_obs)
+            jax.block_until_ready((dbelief, dms))
+            return (time.perf_counter() - t0) / iters
+
+        dms_ms = 1e3 * min(dwindow() for _ in range(windows))
+        dist_axis1 = {"ms": round(dms_ms, 3),
+                      "vs_plain_kl": round(dms_ms / full_step["kl"]["ms"],
+                                           3)}
+    except Exception as e:  # noqa: BLE001 - report, don't fail the bench
+        dist_axis1 = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "particle_likelihood_evals_per_s_per_chip",
         "value": float(evals_per_s),
         "unit": "particle-pixel evals/s",
         "vs_baseline": float(evals_per_s / BASELINE_EVALS_PER_S),
         "full_step": full_step,
+        "dist_axis1_kl": dist_axis1,
         "north_star_10k_30hz": full_step["kl"]["hz"] >= 30.0,
     }))
 

@@ -88,8 +88,14 @@ def make_rb_sensor(meshes, camera: CameraModel, beam_params: BeamParams,
         raise ValueError(f"unknown sensor backend: {backend!r}")
 
     def loglik_fn(states, occ, z_obs, dt):
+        from dbot_ros_tpu.ops.budget import xla_tri_chunk
+
         poses = states[..., :7]
-        depth = render_scene(meshes, poses, camera.rays, tri_chunk)
+        # particle count is static at trace time: degrade the triangle
+        # chunk so the (P, N, chunk) scan intermediate fits (ref D14)
+        chunk = xla_tri_chunk(states.shape[0], camera.num_pixels,
+                              tri_chunk)
+        depth = render_scene(meshes, poses, camera.rays, chunk)
         return image_loglik(depth, z_obs, occ, beam_params, occ_params,
                             dt_frames=dt * frame_rate)
 

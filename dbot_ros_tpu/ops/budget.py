@@ -124,3 +124,21 @@ def rgf_pixel_stride(num_pixels: int, padded_triangles: int,
            and stride < max_stride):
         stride *= 2
     return stride
+
+
+def xla_tri_chunk(num_particles: int, num_pixels: int,
+                  requested: int = 512,
+                  budget_bytes: int = 2 * 1024 ** 3,
+                  min_chunk: int = 16) -> int:
+    """Degrade the exact raycaster's triangle-chunk to the particle count.
+
+    The XLA backend's chunked scan materializes a (P, N, chunk) f32
+    intermediate; a fixed chunk that is fine at 2k particles OOMs at 8k
+    (measured: 512-chunk × 8192 × 1200 px = 20 GB). Shrink the chunk so
+    the intermediate stays under ``budget_bytes`` — the per-frame FLOPs
+    are unchanged, only the scan gets more steps (ref D14
+    BufferConfiguration's degrade-to-fit, applied to the CPU-path
+    analog)."""
+    per_chunk = max(num_particles * num_pixels * 4, 1)
+    fit = int(budget_bytes // per_chunk)
+    return max(min_chunk, min(int(requested), (fit // 16) * 16 or min_chunk))

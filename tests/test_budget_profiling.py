@@ -70,3 +70,17 @@ def test_rgf_pixel_stride_degrade():
                          camera=cam)
     # tiny problem → auto keeps every pixel
     assert tr._pixel_idx is None
+
+
+def test_xla_tri_chunk_degrades_with_particles():
+    from dbot_ros_tpu.ops.budget import xla_tri_chunk
+
+    # small batches keep the requested chunk
+    assert xla_tri_chunk(512, 1200, 512) == 512
+    # 8192 x 1200 px: 512-chunk would need 20 GB -> shrink under 2 GB
+    c = xla_tri_chunk(8192, 1200, 512)
+    assert c < 512
+    assert 8192 * 1200 * c * 4 <= 2 * 1024 ** 3
+    assert c % 16 == 0 and c >= 16
+    # never below the floor
+    assert xla_tri_chunk(10 ** 7, 10 ** 5, 512) == 16
