@@ -212,3 +212,50 @@ def test_find_initial_poses_two_objects():
     err_box = float(jnp.linalg.norm(poses[1, :3] - pose_box[:3]))
     assert err_l < 0.05, (err_l, np.asarray(poses))
     assert err_box < 0.05, (err_box, np.asarray(poses))
+
+
+def test_cluster_masks_partition_three_objects():
+    """K=3 foreground clustering: pure per-object pixel partitions."""
+    from dbot_ros_tpu.runtime.initializer import _cluster_masks
+    from dbot_ros_tpu.utils.mesh import box_mesh
+
+    cam = cam32()
+    ms = [box_mesh(0.05, 0.05, 0.04)] * 3
+    xs = (-0.12, 0.0, 0.12)
+    d = None
+    per = []
+    for m, x in zip(ms, xs):
+        pose = jnp.concatenate([jnp.array([x, 0.0, 0.6]),
+                                se3.quat_identity()])
+        di = raycast_depth(m, pose, cam.rays, 128)
+        per.append(np.isfinite(np.asarray(di)))
+        d = di if d is None else jnp.minimum(d, di)
+    z = jnp.where(jnp.isfinite(d), d, jnp.nan)
+    masks = _cluster_masks(z, cam, 3, 0.3, 1.5)
+    # every cluster is dominated by exactly one object
+    owners = set()
+    for m in masks:
+        m = np.asarray(m)
+        overlaps = [np.logical_and(m, p).sum() for p in per]
+        k = int(np.argmax(overlaps))
+        assert overlaps[k] > 0.9 * m.sum(), overlaps
+        owners.add(k)
+    assert owners == {0, 1, 2}
+
+
+def test_scale_camera_roundtrip():
+    from dbot_ros_tpu.runtime.sources import scale_camera
+    from dbot_ros_tpu.utils.camera import make_camera
+
+    K = np.array([[44.0, 0, 14], [0, 44.0, 12], [0, 0, 1.0]])
+    cam = make_camera(K, 24, 28)
+    cam4 = scale_camera(cam, 4)
+    assert (cam4.height, cam4.width) == (96, 112)
+    # strided picking of the native rays lands back on the coarse grid:
+    # ray (0,0) is identical; focal scales with resolution
+    np.testing.assert_allclose(np.asarray(cam4.camera_matrix)[:2, :2],
+                               4 * np.asarray(cam.camera_matrix)[:2, :2],
+                               rtol=1e-6)
+    r4 = np.asarray(cam4.rays).reshape(96, 112, 3)
+    r1 = np.asarray(cam.rays).reshape(24, 28, 3)
+    np.testing.assert_allclose(r4[::4, ::4], r1, atol=1e-5)
