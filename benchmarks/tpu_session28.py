@@ -1,11 +1,14 @@
-"""TPU experiment 28: single-chip multi-scene serving throughput (P7).
+"""TPU experiment 28: single-chip multi-stream serving (P7, round-robin).
 
-The production-serving shape: S independent tracking scenes batched on
-ONE chip via vmap over the full KL filter step (fused pallas sensor —
-the vmap adds a leading grid dimension to the kernel; per-instance VMEM
-unchanged). Reports per-scene step latency and aggregate scene-frames/s
-as S grows — the single-chip half of the batched-serving scaling story
-(the multi-chip half is the 2-D scene mesh, docs/SCALING.md).
+vmap over scenes does NOT lower for the fused kernel on hardware (its
+HBM-resident operands — occlusion state, candidate slabs — are memory
+space ANY, whose pallas batching requires whole-array blocks with
+trivial index maps). Interpret-mode vmap works and stays the CPU test
+path; on-chip, multi-stream serving on one chip is ROUND-ROBIN: one
+compiled KL step, S independent beliefs stepped in turn (exactly how a
+serving host would interleave camera streams). This measures what the
+vmap would have: aggregate scene-frames/s with S live streams'
+buffers resident (donation ping-pong, cache effects, dispatch overlap).
 
 Appends {"serving": {S: {...}}} to eval_tpu.json.
 """
@@ -39,7 +42,7 @@ from dbot_ros_tpu.utils.mesh import icosphere_mesh
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.environ.get("S28_OUT", os.path.join(ROOT, "eval_tpu.json"))
 P = int(os.environ.get("S28_P", 10_000))
-SCENES = [int(x) for x in os.environ.get("S28_S", "1,2,4").split(",")]
+SCENES = [int(x) for x in os.environ.get("S28_S", "1,4,8").split(",")]
 WINDOWS = int(os.environ.get("S28_WINDOWS", 3))
 WSTEPS = int(os.environ.get("S28_WSTEPS", 30))
 
@@ -59,26 +62,29 @@ ref = jnp.concatenate([jnp.array([0., 0., 0.8]), se3.quat_identity()])
 z_true = raycast_depth(mesh, ref, cam.rays)
 z_obs = jnp.where(jnp.isfinite(z_true), z_true, 2.0)
 
+step = jax.jit(functools.partial(
+    rbcpf.rbcpf_step, loglik_fn=sensor, trans_params=tp, dt=1.0 / 30.0,
+    max_kl_divergence=1.0), donate_argnums=(0,))
+
 for S in SCENES:
-    beliefs = jax.vmap(lambda k: rbcpf.init_belief(
-        k, ref, P, cam.num_pixels, sensor=sensor))(
-        jax.random.split(jax.random.PRNGKey(0), S))
-    zs = jnp.broadcast_to(z_obs, (S, cam.num_pixels))
-    step = jax.jit(jax.vmap(functools.partial(
-        rbcpf.rbcpf_step, loglik_fn=sensor, trans_params=tp,
-        dt=1.0 / 30.0, max_kl_divergence=1.0)), donate_argnums=(0,))
-    beliefs, infos = step(beliefs, zs)
+    beliefs = [rbcpf.init_belief(jax.random.PRNGKey(s), ref, P,
+                                 cam.num_pixels, sensor=sensor)
+               for s in range(S)]
+    for s in range(S):
+        beliefs[s], info = step(beliefs[s], z_obs)
     jax.block_until_ready(beliefs)
 
     best = np.inf
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(WSTEPS):
-            beliefs, infos = step(beliefs, zs)
+            for s in range(S):           # round-robin over live streams
+                beliefs[s], info = step(beliefs[s], z_obs)
         jax.block_until_ready(beliefs)
-        best = min(best, (time.perf_counter() - t0) / WSTEPS)
-    rec = {"step_ms": round(best * 1e3, 3),
-           "scene_frames_per_s": round(S / best, 1),
+        best = min(best, (time.perf_counter() - t0) / (WSTEPS * S))
+    rec = {"per_step_ms": round(best * 1e3, 3),
+           "aggregate_scene_fps": round(1.0 / best, 1),
+           "streams_at_30hz": int(1.0 / best // 30),
            "particles_per_scene": P}
     results["serving"][str(S)] = rec
     print(f"S={S}:", json.dumps(rec), flush=True)
