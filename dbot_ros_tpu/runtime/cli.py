@@ -32,13 +32,18 @@ import numpy as np
 
 def _build_tracker(config_path: str):
     from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.trackers.base import describe
 
     conf = cfg.load_config(config_path)
     if isinstance(conf, cfg.ParticleTrackerConfig):
         from dbot_ros_tpu.trackers.particle import ParticleTracker
-        return ParticleTracker(conf), conf
-    from dbot_ros_tpu.trackers.gaussian import GaussianTracker
-    return GaussianTracker(conf), conf
+        tracker = ParticleTracker(conf)
+    else:
+        from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+        tracker = GaussianTracker(conf)
+    # the fl::Descriptor analog: log what got assembled (ref F10)
+    print(describe(tracker), file=sys.stderr)
+    return tracker, conf
 
 
 def _trajectory_fn(kind: str, start_pose, num_objects: int):

@@ -44,3 +44,55 @@ def moving_average_pose(smoothed, new, rate):
     rate = jnp.float32(rate)
     xi = se3.pose_boxminus(new, smoothed)
     return se3.pose_boxplus(smoothed, rate * xi)
+
+
+def describe(tracker) -> str:
+    """Human-readable composition of an assembled tracker.
+
+    The ``fl::Descriptor`` analog (ref F10, ``fl/util/descriptor.hpp``:
+    every fl filter pretty-prints its model composition): what got
+    built from the config — estimator, sensor backend, models with the
+    parameters that matter, scene and camera geometry. Useful in logs
+    before long runs and in bug reports.
+    """
+    from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+
+    cam = tracker.camera
+    meshes = list(getattr(tracker, "meshes", []))
+    mesh_str = ", ".join(
+        f"{m.num_triangles} tris (pad {m.faces.shape[0]})" for m in meshes)
+    bp = tracker.beam_params
+    tr = tracker.config.transition
+    lines = [
+        f"camera: {cam.height}x{cam.width} ({cam.num_pixels} px), "
+        f"fx={float(cam.camera_matrix[0, 0]):.1f}",
+        f"objects[{len(meshes)}]: {mesh_str}",
+        f"beam model: sigma={bp.model_sigma:g} + {bp.sigma_factor:g}/m, "
+        f"tail={bp.tail_weight:g}, depth=[{bp.min_depth:g}, "
+        f"{bp.max_depth:g}] m",
+        f"transition: damped Wiener, sigma_lin="
+        f"{tr.linear_acceleration_sigma:g}, sigma_ang="
+        f"{tr.angular_acceleration_sigma:g}, damping={tr.damping:g}",
+    ]
+    if isinstance(tracker, ParticleTracker):
+        c = tracker.config
+        head = (f"ParticleTracker (RBC-PF): {c.evaluation_count} "
+                f"particles, backend={c.backend}, "
+                f"max_kl={c.max_kl_divergence:g}")
+        op = tracker.occ_params
+        lines.insert(3, f"occlusion chain: p_v->o={op.p_occluded_visible:g}"
+                        f", p_o->o={op.p_occluded_occluded:g}, "
+                        f"init={op.initial_occlusion_prob:g}")
+    elif isinstance(tracker, GaussianTracker):
+        c = tracker.config
+        head = (f"GaussianTracker (robust multi-sensor GF): "
+                f"iterations={c.update_iterations}, "
+                f"trust_sigma={c.trust_sigma:g}, "
+                f"pixel_stride={c.pixel_stride}")
+    else:
+        head = type(tracker).__name__
+    if getattr(tracker.config, "moving_average_update_rate", 1.0) != 1.0:
+        lines.append(f"output EMA rate="
+                     f"{tracker.config.moving_average_update_rate:g}")
+    return "\n".join([head] + ["  " + ln for ln in lines])

@@ -421,3 +421,27 @@ def test_u16_camera_pipeline_tracks():
     tracker = ParticleTracker(config, meshes=[mesh], camera=cam)
     run = node.run(tracker, src)
     assert run.position_rmse() < 0.012, run.position_rmse()
+
+
+def test_describe_trackers():
+    """fl::Descriptor analog (F10): assembled composition pretty-print."""
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.trackers.base import describe
+    from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh, l_shape_mesh
+
+    K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    meshes = [l_shape_mesh(), box_mesh(0.05, 0.07, 0.03)]
+    pt = ParticleTracker(cfg.ParticleTrackerConfig(
+        evaluation_count=128, backend="xla"), meshes=meshes, camera=cam)
+    d = describe(pt)
+    assert "ParticleTracker" in d and "128 particles" in d
+    assert "objects[2]" in d and "occlusion chain" in d
+    assert "32x32" in d and "damped Wiener" in d
+    gt = GaussianTracker(cfg.GaussianTrackerConfig(), meshes=[meshes[0]],
+                         camera=cam)
+    d2 = describe(gt)
+    assert "GaussianTracker" in d2 and "trust_sigma" in d2
