@@ -141,4 +141,6 @@ def xla_tri_chunk(num_particles: int, num_pixels: int,
     analog)."""
     per_chunk = max(num_particles * num_pixels * 4, 1)
     fit = int(budget_bytes // per_chunk)
-    return max(min_chunk, min(int(requested), (fit // 16) * 16 or min_chunk))
+    degraded = max(min_chunk, (fit // 16) * 16)
+    # degrade-only: never raise an explicitly tiny request
+    return min(int(requested), degraded)

@@ -354,9 +354,16 @@ def _resample_block(states, log_w, occ, old_loglik, *, do, ln, k_res,
         C = min(_round_up128(C), _round_up128(p_local))
         # s ≡ 0 (mod S) would "ship" a shard its own rows — the local
         # gather already covers those (and on identity frames such a
-        # plan would spuriously overflow the capacity check).
-        hops = [s for s in range(-max_hops, max_hops + 1)
-                if s % n_shards != 0]
+        # plan would spuriously overflow the capacity check). Hops
+        # congruent mod S reach the same neighbor — keep one per
+        # residue (smallest |s|) or a 2-shard mesh ships every buffer
+        # twice.
+        hops, seen = [], set()
+        for s_ in sorted(range(-max_hops, max_hops + 1), key=abs):
+            r = s_ % n_shards
+            if r != 0 and r not in seen:
+                seen.add(r)
+                hops.append(s_)
         half = n_shards // 2
         dw = (owner - idx + half) % n_shards - half  # minimal signed hop
         span = jax.lax.pmax(jnp.max(jnp.abs(dw)), axis)

@@ -70,19 +70,20 @@ def orientation_candidates(n_axes: int = 12, n_spins: int = 4):
 
 
 def segment_centroid(depth, camera: CameraModel, min_depth=0.3,
-                     max_depth=1.5):
-    """Robust 3-D centroid of the foreground band → (3,) or None-like.
+                     max_depth=1.5, fg_mask=None):
+    """Robust 3-D centroid of the foreground band → (centroid, n_pixels).
 
-    Returns (centroid, n_pixels). Uses the median per coordinate —
-    insensitive to background pixels leaking into the band.
+    Uses the median per coordinate — insensitive to background pixels
+    leaking into the band. ``fg_mask`` (N,) bool optionally restricts
+    the foreground (multi-object clustering).
     """
     z = preprocess_depth(jnp.asarray(depth, jnp.float32).reshape(-1))
     mask = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+    if fg_mask is not None:
+        mask = mask & jnp.asarray(fg_mask).reshape(-1)
     pts = camera.rays * z[:, None]
-    big = 1e9
     masked = jnp.where(mask[:, None], pts, jnp.nan)
-    centroid = jnp.nanmedian(masked, axis=0)
-    return centroid, jnp.sum(mask)
+    return jnp.nanmedian(masked, axis=0), jnp.sum(mask)
 
 
 def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
@@ -117,10 +118,8 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
     fg_sel = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
     if fg_mask is not None:
         fg_sel = fg_sel & jnp.asarray(fg_mask).reshape(-1)
-    pts = camera.rays * z[:, None]
-    masked = jnp.where(fg_sel[:, None], pts, jnp.nan)
-    centroid = jnp.nanmedian(masked, axis=0)
-    n_fg = jnp.sum(fg_sel)
+    centroid, n_fg = segment_centroid(z, camera, min_depth, max_depth,
+                                      fg_mask=fg_mask)
 
     quats = orientation_candidates(n_axes, n_spins)      # (Q, 4)
     view = centroid / jnp.maximum(jnp.linalg.norm(centroid), 1e-6)
@@ -309,7 +308,14 @@ def _cluster_masks(z, camera: CameraModel, n_clusters: int,
             if sel.any():
                 centers[k] = p[sel].mean(0)
     for k in range(n_clusters):
-        masks_all[k][idx[lab == k]] = True
+        sel = lab == k
+        if sel.any():
+            masks_all[k][idx[sel]] = True
+        else:
+            # an empty cluster (k-means center lost all members) must
+            # not produce an all-False mask — an empty foreground gives
+            # NaN centroids/scores that poison the greedy assignment
+            masks_all[k][idx] = True
     return [jnp.asarray(m) for m in masks_all]
 
 
@@ -361,8 +367,15 @@ def find_initial_poses(depth, meshes, camera: CameraModel,
                     min_depth=min_depth, max_depth=max_depth, key=k,
                     fg_mask=masks[c], scene_depth=scene,
                     return_beams=True, **kwargs)
-                if best is None or float(sc) > float(best[0]):
+                sc_f = float(sc)
+                if np.isnan(sc_f):
+                    continue            # degenerate search (empty fg)
+                if best is None or sc_f > float(best[0]):
                     best = (sc, o, c, pose, beams, beam_ll)
+        if best is None:
+            raise ValueError(
+                "multi-object init failed: no finite candidate score "
+                "(empty/degenerate foreground?)")
         sc, o, c, pose, beams, beam_ll = best
         placed[o], scores[o], obj_beams[o] = pose, sc, (beams, beam_ll)
         remaining_obj.remove(o)

@@ -158,15 +158,22 @@ class TrackerService:
             probe.settimeout(0.2)
             try:
                 probe.connect(path)
-            except OSError:
-                os.unlink(path)
-            else:
+                alive = True
+            except (ConnectionRefusedError, FileNotFoundError):
+                alive = False           # stale socket file — reclaim
+            except OSError as e:
+                import errno
+                # a timeout (busy backlog) means something IS listening;
+                # only clearly-dead conditions may be reclaimed
+                alive = getattr(e, "errno", None) not in (
+                    errno.ECONNREFUSED, errno.ENOENT, errno.ENOTSOCK)
+            finally:
                 probe.close()
+            if alive:
                 raise RuntimeError(
                     f"control socket {path!r} is in use by a live "
                     "process; choose another path")
-            finally:
-                probe.close()
+            os.unlink(path)
         self._server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._server.bind(path)
         # owner-only: shutdown / checkpoint-to-arbitrary-path commands

@@ -143,7 +143,7 @@ class OracleSource:
                 depth = jnp.minimum(depth, d)
             z = jnp.where(jnp.isfinite(depth), depth,
                           jnp.float32(background_depth))
-            k1, k2, k3, k4 = jax.random.split(key, 4)
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
             if noise_sigma > 0:
                 z = z + noise_sigma * jax.random.normal(k1, z.shape)
             if edge_artifacts > 0:
@@ -155,8 +155,11 @@ class OracleSource:
                     edge = edge | (jnp.abs(z2 - nb) > edge_threshold)
                 hit = jax.random.bernoulli(k3, edge_artifacts, z2.shape)
                 mode = jax.random.bernoulli(k4, 0.5, z2.shape)
-                # flying pixel: adopt the left/up neighbor's depth
-                fly = jnp.where(mode, shift[0], shift[2])
+                # flying pixel: adopt a random (vertical or lateral)
+                # neighbor's depth — the neighbor choice needs its OWN
+                # key, or the shadow/fly select masks one arm
+                nb_v = jax.random.bernoulli(k5, 0.5, z2.shape)
+                fly = jnp.where(nb_v, shift[0], shift[2])
                 z2 = jnp.where(edge & hit,
                                jnp.where(mode, fly, jnp.nan), z2)
                 z = z2.reshape(-1)
@@ -276,6 +279,7 @@ class ThreadedSource:
         self.capacity = capacity
         self.skipped_total = 0
         self._gt = {}
+        self._gt_lock = threading.Lock()
         self._count = 0
         self._last_idx = -1
         self._done = threading.Event()
@@ -294,7 +298,8 @@ class ThreadedSource:
         if index is None:
             index = self._count
         if ground_truth is not None:
-            self._gt[int(index)] = np.asarray(ground_truth)
+            with self._gt_lock:
+                self._gt[int(index)] = np.asarray(ground_truth)
         self._ring.push(depth, float(index))
         self._count += 1
 
@@ -336,9 +341,12 @@ class ThreadedSource:
             skipped = max(idx - self._last_idx - 1, 0)
             self._last_idx = idx
             self.skipped_total += skipped
-            gt = self._gt.pop(idx, None)
-            # prune ground truths of dropped frames
-            self._gt = {k: v for k, v in self._gt.items() if k > idx}
+            with self._gt_lock:
+                gt = self._gt.pop(idx, None)
+                # prune ground truths of dropped frames (in place — the
+                # producer thread may be inserting concurrently)
+                for k in [k for k in self._gt if k < idx]:
+                    del self._gt[k]
             yield Frame(idx, depth, gt, skipped=skipped)
 
 

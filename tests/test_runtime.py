@@ -408,8 +408,8 @@ def test_u16_camera_pipeline_tracks():
 
     first = next(iter(src))
     assert first.depth.shape == (24, 28)
-    assert np.isnan(first.depth).sum() == 0 or True  # NaN allowed (shadow)
     valid = first.depth[np.isfinite(first.depth)]
+    assert valid.size > 100      # the frame is substantially valid
     # mm quantization survives the pipeline: values are whole millimeters
     assert np.allclose(valid * 1000, np.round(valid * 1000), atol=1e-3)
 

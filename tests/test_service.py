@@ -211,8 +211,8 @@ def test_serve_refuses_live_socket(tmp_path):
     finally:
         svc.close()
     # stale socket file (no listener behind it) is reclaimed
-    assert os.path.exists(path) or True
     with open(path, "a"):
         pass  # ensure a file exists at the path
+    assert os.path.exists(path)
     svc2 = TrackerService(path)
     svc2.close()
