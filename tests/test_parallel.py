@@ -476,3 +476,39 @@ def test_multi_scene_vmap_sharded():
         axis=-1)
     assert (err < 0.01).all(), err
     assert len(beliefs.states.sharding.device_set) == 8
+
+
+def test_two_shard_counts_matches_all_gather():
+    """S=2 mesh: hops ±1 reach the SAME neighbor — the deduped counts
+    exchange must still equal the all_gather resampler bit-for-bit
+    (regression for the duplicate-buffer bug, code review r4)."""
+    cam, mesh, tp, sensor = setup()
+    mesh2 = dist_filter.make_particle_mesh(2)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+
+    def make_belief():
+        b = rbcpf.init_belief(jax.random.PRNGKey(9), pose0, 64,
+                              cam.num_pixels)
+        occ = jnp.linspace(0.05, 0.9, 64)[:, None] * jnp.ones(
+            (64, cam.num_pixels))
+        b = rbcpf.ParticleBelief(states=b.states,
+                                 log_weights=jnp.sin(jnp.arange(64.0)) * 3,
+                                 occlusion=occ, key=b.key)
+        return dist_filter.shard_belief(b, mesh2)
+
+    outs = {}
+    for mode in ("counts", "all_gather"):
+        step = dist_filter.make_distributed_step(
+            mesh2, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.01,
+            exchange=mode)
+        b2, ms, ess = step(make_belief(), z)
+        outs[mode] = b2
+    np.testing.assert_allclose(np.asarray(outs["counts"].occlusion),
+                               np.asarray(outs["all_gather"].occlusion),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["counts"].states),
+                               np.asarray(outs["all_gather"].states),
+                               atol=1e-6)
