@@ -93,7 +93,7 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
                       n_axes: int = 12, n_spins: int = 4,
                       depth_offsets=(0.0, 0.03, 0.06),
                       refine_particles: int = 256,
-                      refine_steps: int = 4,
+                      refine_steps: int = 4, polish_rounds: int = 3,
                       key=None, return_beams: bool = False,
                       fg_mask=None, scene_depth=None):
     """Search for the object pose in one frame → (pose (7,), score).
@@ -250,7 +250,7 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
     offsets = jnp.array([-0.12, -0.06, -0.03, -0.015, -0.0075, 0.0,
                          0.0075, 0.015, 0.03, 0.06, 0.12])
     n_off = offsets.shape[0]
-    for _ in range(3):
+    for _ in range(polish_rounds):
         beams = align(beams)
         m = beams.shape[0]
         for ax in range(3):

@@ -206,7 +206,7 @@ def test_find_initial_poses_two_objects():
 
     poses, scores = find_initial_poses(
         z, [m_l, m_box], cam, n_axes=6, n_spins=4,
-        refine_particles=128, refine_steps=3)
+        refine_particles=128, refine_steps=3, polish_rounds=1)
     assert poses.shape == (2, 7)
     err_l = float(jnp.linalg.norm(poses[0, :3] - pose_l[:3]))
     err_box = float(jnp.linalg.norm(poses[1, :3] - pose_box[:3]))

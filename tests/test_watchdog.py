@@ -138,7 +138,7 @@ def test_watchdog_closed_loop_auto_recovery():
     run = node.run(tracker, source, watchdog=wd,
                    reinit_kwargs=dict(n_axes=6, n_spins=2,
                                       refine_particles=128,
-                                      refine_steps=3))
+                                      refine_steps=3, polish_rounds=1))
 
     assert run.reinit_frames, "watchdog never tripped"
     assert min(run.reinit_frames) >= 12, run.reinit_frames
@@ -194,7 +194,7 @@ def test_watchdog_closed_loop_two_object_recovery():
     run = node.run(tracker, source, watchdog=wd,
                    reinit_kwargs=dict(n_axes=6, n_spins=2,
                                       refine_particles=96,
-                                      refine_steps=2))
+                                      refine_steps=2, polish_rounds=1))
 
     assert run.reinit_frames, "watchdog never tripped"
     assert min(run.reinit_frames) >= 12, run.reinit_frames
