@@ -33,6 +33,15 @@ class WatchdogConfig:
     # for `patience` frames (the old one-shot 10× absorbed real losses).
     loglik_mad_factor: float = 3.0      # ... or this × the tracked MAD
     beta_min: float = 0.05              # GF inlier-rate floor
+    # GF lock-in detector: a wrong-basin Gaussian filter keeps a
+    # PERSISTENTLY depressed inlier rate (measured beta 0.40-0.52 for
+    # 30+ frames after an occluder-crossing rotation lock-in vs >0.7
+    # healthy, EVAL.md occluder/rgf note) — innovation RMS does NOT
+    # separate the two (the wrong basin fits depth decently). The
+    # patience outlasts a transient crossing (~10 frames), which also
+    # depresses beta but recovers. 0 disables.
+    beta_locked: float = 0.6            # sustained-depression threshold
+    beta_locked_patience: int = 15
     patience: int = 3                   # consecutive bad frames to trip
     ema_rate: float = 0.05              # baseline tracking rate
     warmup: int = 3                     # grace frames after start/re-init
@@ -51,6 +60,7 @@ class TrackingWatchdog:
         self.config = config or WatchdogConfig()
         self._loglik_ema: Optional[float] = None
         self._loglik_mad = 0.0
+        self._beta_low_streak = 0
         self._bad_streak = 0
         self._frames = 0
         self.trip_count = 0
@@ -59,6 +69,7 @@ class TrackingWatchdog:
         """Back to the post-init state (call after an external re-init)."""
         self._loglik_ema = None
         self._loglik_mad = 0.0
+        self._beta_low_streak = 0
         self._bad_streak = 0
         self._frames = 0
 
@@ -115,6 +126,18 @@ class TrackingWatchdog:
         beta = getattr(info, "mean_beta", None)
         if beta is not None and float(beta) < c.beta_min:
             bad = True
+
+        # GF lock-in: inlier rate depressed for far longer than any
+        # transient occlusion (separate long-patience streak).
+        if beta is not None and c.beta_locked > 0:
+            if float(beta) < c.beta_locked:
+                self._beta_low_streak += 1
+            else:
+                self._beta_low_streak = 0
+            if self._beta_low_streak >= c.beta_locked_patience:
+                self.reset()
+                self.trip_count += 1
+                return True
 
         if bad:
             self._bad_streak += 1

@@ -204,3 +204,37 @@ def test_watchdog_closed_loop_two_object_recovery():
     # both objects re-acquired by the end
     assert errs[-1, 0] < 0.025, errs[-3:, 0]
     assert errs[-1, 1] < 0.025, errs[-3:, 1]
+
+
+def test_watchdog_beta_depression_recovers_rgf_lockin():
+    """GF lock-in detector (round 4): after an occluder crossing the RGF
+    can lock a wrong rotation basin with a PERSISTENTLY depressed inlier
+    rate (EVAL.md occluder/rgf note). The sustained-beta watchdog signal
+    must trip well after the transient crossing and the full-precision
+    6-DoF re-init must re-acquire (seed chosen for a deterministic
+    lock-in: without the watchdog this run ends at rot ~1.8 rad)."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from eval_suite import build_scene, make_source, make_tracker
+    from dbot_ros_tpu.runtime import node
+    from dbot_ros_tpu.runtime.watchdog import TrackingWatchdog, \
+        WatchdogConfig
+
+    cam, mesh, occluder = build_scene()
+    tracker = make_tracker("rgf", cam, mesh, 512, "occluder")
+    wd = TrackingWatchdog(WatchdogConfig())
+    run = node.run(tracker,
+                   make_source("occluder", cam, mesh, occluder, 60,
+                               seed=1),
+                   watchdog=wd,
+                   reinit_kwargs=dict(n_axes=12, n_spins=4,
+                                      refine_particles=128,
+                                      refine_steps=3))
+    assert run.reinit_frames, "lock-in never detected"
+    # trips only AFTER the transient crossing (bar spans frames ~8-40;
+    # beta recovers by ~30 on healthy runs)
+    assert min(run.reinit_frames) >= 25
+    rot = run.rotation_errors()
+    assert rot[-1, 0] < 0.3, rot[-5:, 0]
+    assert run.position_errors()[-1, 0] < 0.02
