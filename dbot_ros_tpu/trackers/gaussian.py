@@ -94,6 +94,7 @@ class GaussianTracker:
             bg_sigma=config.bg_sigma))
         self.belief: Optional[rgf.GaussianBelief] = None
         self._smoothed = None
+        self._trial = None
 
     @property
     def centers(self):
@@ -106,29 +107,65 @@ class GaussianTracker:
         return base.to_center_frame(
             poses_model.reshape(self.num_objects, 7), self.centers)
 
-    def initialize(self, pose_model, first_frame=None):
-        pose_model = jnp.asarray(pose_model, jnp.float32)
-        pose_center = self._to_center(pose_model)
+    def _make_belief(self, pose_center, first_frame):
         c = self.config
-        if first_frame is not None:
-            first_frame = preprocess_depth(
-                jnp.asarray(first_frame, jnp.float32).reshape(-1))
-            if self._pixel_idx is not None:
-                first_frame = first_frame[self._pixel_idx]
         num_pixels = (self.camera.num_pixels if self._pixel_idx is None
                       else self._pixel_idx.shape[0])
-        self.belief = rgf.init_belief(
+        return rgf.init_belief(
             jax.random.PRNGKey(c.seed), pose_center,
             num_pixels=num_pixels, first_frame=first_frame,
             pos_sigma=c.init_pos_sigma, rot_sigma=c.init_rot_sigma,
             vel_sigma=c.init_vel_sigma,
             background_depth=float(self.beam_params.max_depth))
+
+    def initialize(self, pose_model, first_frame=None, hypotheses=None,
+                   hypothesis_logits=None, trial_frames: int = 6,
+                   trial_switch_margin: float = 0.1):
+        """Set the initial pose(s); optionally race init hypotheses.
+
+        ``hypotheses`` (H, 7) | (H, K, 7) model-frame poses (the
+        automatic initializer's refined beams): a Gaussian is unimodal
+        by construction, so near-symmetric init twins — which the PF
+        resolves with a score-weighted particle mixture — get a short
+        MULTI-HYPOTHESIS TRIAL instead: every hypothesis runs its own
+        belief for the next ``trial_frames`` frames; the best
+        accumulated inlier rate (mean_beta) wins and the rest are
+        dropped. Fixes the flip re-lock observed in watchdog recovery
+        (EVAL.md occluder/rgf note).
+        """
+        pose_model = jnp.asarray(pose_model, jnp.float32)
+        pose_center = self._to_center(pose_model)
+        if first_frame is not None:
+            first_frame = preprocess_depth(
+                jnp.asarray(first_frame, jnp.float32).reshape(-1))
+            if self._pixel_idx is not None:
+                first_frame = first_frame[self._pixel_idx]
+        self.belief = self._make_belief(pose_center, first_frame)
         self._smoothed = pose_center
+        self._trial = None
+        if hypotheses is not None:
+            import numpy as np
+
+            hyp = jnp.asarray(hypotheses, jnp.float32)
+            if hyp.ndim == 2:
+                hyp = hyp[:, None]
+            if hyp.shape[0] >= 2:
+                order = (list(np.argsort(-np.asarray(hypothesis_logits)))
+                         if hypothesis_logits is not None
+                         else list(range(hyp.shape[0])))[:4]
+                beliefs = [self._make_belief(
+                    self._to_center(hyp[i]), first_frame) for i in order]
+                self._trial = {"beliefs": beliefs,
+                               "scores": [0.0] * len(beliefs),
+                               "left": int(trial_frames),
+                               "elapsed": 0,
+                               "margin": float(trial_switch_margin)}
 
     def restore(self, belief: rgf.GaussianBelief):
         """Resume from a checkpointed belief (runtime/checkpoint.py)."""
         self.belief = belief
         self._smoothed = belief.mean[..., :7]
+        self._trial = None
 
     def track(self, depth_image):
         if self.belief is None:
@@ -137,7 +174,37 @@ class GaussianTracker:
                                          jnp.float32).reshape(-1))
         if self._pixel_idx is not None:
             z = z[self._pixel_idx]
-        self.belief, info = self._step(self.belief, z)
+        trial = getattr(self, "_trial", None)
+        if trial:
+            import numpy as np
+
+            infos = []
+            for i, b in enumerate(trial["beliefs"]):
+                b2, info_i = self._step(b, z)
+                trial["beliefs"][i] = b2
+                trial["scores"][i] += float(info_i.mean_beta)
+                infos.append(info_i)
+            trial["left"] -= 1
+            trial["elapsed"] += 1
+            # the init search's full-likelihood argmax (beliefs[0]) is
+            # the prior choice; a challenger must win the inlier-rate
+            # race DECISIVELY (margin per trial frame) — a slim beta
+            # edge routinely favors a well-fitting symmetric flip over
+            # a still-converging correct basin (measured: the flip won
+            # 0.80-vs-0.73 beta/frame yet the argmax was right)
+            best = int(np.argmax(trial["scores"]))
+            if best != 0 and (trial["scores"][best] - trial["scores"][0]
+                              < trial["margin"] * trial["elapsed"]):
+                best = 0
+            self.belief = trial["beliefs"][best]
+            info = infos[best]
+            if trial["left"] <= 0:
+                self._trial = None
+            # follow the winning hypothesis directly (EMA blending
+            # ACROSS hypotheses would average incompatible orientations)
+            self._smoothed = self.belief.mean[..., :7]
+        else:
+            self.belief, info = self._step(self.belief, z)
         new_pose = self.belief.mean[..., :7]
         self._smoothed = base.moving_average_pose(
             self._smoothed, new_pose,
