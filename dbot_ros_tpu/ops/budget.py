@@ -142,5 +142,8 @@ def xla_tri_chunk(num_particles: int, num_pixels: int,
     per_chunk = max(num_particles * num_pixels * 4, 1)
     fit = int(budget_bytes // per_chunk)
     degraded = max(min_chunk, (fit // 16) * 16)
-    # degrade-only: never raise an explicitly tiny request
-    return min(int(requested), degraded)
+    requested = int(requested)
+    if requested <= 0:                  # non-positive = "auto"
+        return degraded
+    # degrade-only: never raise an explicitly tiny (but valid) request
+    return min(requested, degraded)

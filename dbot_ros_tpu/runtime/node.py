@@ -163,11 +163,19 @@ def run(tracker, source, initial_pose=None,
         if on_frame is not None:
             on_frame(frame, poses, info)
         if watchdog is not None and watchdog.update(info, num_particles):
-            # tracking lost: global re-acquisition on the current frame
+            # tracking lost: global re-acquisition on the current frame.
+            # Contained: a degenerate frame (all-NaN burst — exactly the
+            # frames that trip the dog) must not kill the run; the
+            # watchdog re-arms and retries on a later frame.
             from dbot_ros_tpu.runtime.initializer import initialize_tracker
-            initialize_tracker(tracker, frame.depth,
-                              **(reinit_kwargs or {}))
-            reinit_frames.append(frame.index)
+            try:
+                initialize_tracker(tracker, frame.depth,
+                                   **(reinit_kwargs or {}))
+                reinit_frames.append(frame.index)
+            except Exception as e:  # noqa: BLE001 - keep tracking
+                import sys as _sys
+                print(f"watchdog re-init failed on frame {frame.index}: "
+                      f"{type(e).__name__}: {e}", file=_sys.stderr)
         if checkpoint_path and checkpoint_every \
                 and (frame.index + 1) % checkpoint_every == 0:
             from dbot_ros_tpu.runtime.checkpoint import save_belief

@@ -40,6 +40,14 @@ class WatchdogConfig:
     # separate the two (the wrong basin fits depth decently). The
     # patience outlasts a transient crossing (~10 frames), which also
     # depresses beta but recovers. 0 disables.
+    # The patience must exceed the longest TRANSIENT occlusion expected
+    # in the scene (the eval occluder bar depresses beta for ~12 frames
+    # on healthy runs — measured; 15 leaves a 3-frame margin while still
+    # catching every locked seed, which longer patiences miss because
+    # lock-in beta occasionally pokes above the threshold and resets
+    # the streak). A slow occluder that covers the object for longer
+    # WILL trip a re-init — set beta_locked=0 for scenes with long
+    # benign occlusions.
     beta_locked: float = 0.6            # sustained-depression threshold
     beta_locked_patience: int = 15
     patience: int = 3                   # consecutive bad frames to trip

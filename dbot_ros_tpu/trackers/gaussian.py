@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dbot_ros_tpu import config as cfg
 from dbot_ros_tpu.filters import rgf
@@ -144,8 +145,6 @@ class GaussianTracker:
         self._smoothed = pose_center
         self._trial = None
         if hypotheses is not None:
-            import numpy as np
-
             hyp = jnp.asarray(hypotheses, jnp.float32)
             if hyp.ndim == 2:
                 hyp = hyp[:, None]
@@ -174,10 +173,8 @@ class GaussianTracker:
                                          jnp.float32).reshape(-1))
         if self._pixel_idx is not None:
             z = z[self._pixel_idx]
-        trial = getattr(self, "_trial", None)
+        trial = self._trial
         if trial:
-            import numpy as np
-
             infos = []
             for i, b in enumerate(trial["beliefs"]):
                 b2, info_i = self._step(b, z)

@@ -84,3 +84,11 @@ def test_xla_tri_chunk_degrades_with_particles():
     assert c % 16 == 0 and c >= 16
     # never below the floor
     assert xla_tri_chunk(10 ** 7, 10 ** 5, 512) == 16
+
+
+def test_xla_tri_chunk_nonpositive_request_means_auto():
+    from dbot_ros_tpu.ops.budget import xla_tri_chunk
+
+    assert xla_tri_chunk(512, 1200, 0) >= 16       # auto, never 0
+    assert xla_tri_chunk(512, 1200, -3) >= 16
+    assert xla_tri_chunk(512, 1200, 8) == 8        # tiny explicit honored

@@ -213,9 +213,11 @@ def test_watchdog_beta_depression_recovers_rgf_lockin():
     must trip well after the transient crossing and the full-precision
     6-DoF re-init must re-acquire (seed chosen for a deterministic
     lock-in: without the watchdog this run ends at rot ~1.8 rad)."""
+    import os
     import sys
 
-    sys.path.insert(0, "benchmarks")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
     from eval_suite import build_scene, make_source, make_tracker
     from dbot_ros_tpu.runtime import node
     from dbot_ros_tpu.runtime.watchdog import TrackingWatchdog, \
