@@ -287,11 +287,11 @@ def main():
         "probe widening all measured worse (see git history). The PF's "
         "Rao-Blackwellized occlusion chain tracks straight through "
         "(2.4 mm) — the papers' qualitative PF-vs-GF comparison, "
-        "sharpened.",
+        "sharpened. The watchdog's sustained-beta lock-in detector (round 4) recovers the closed loop on some seeds: a locked run's inlier rate stays depressed (0.40-0.52) long after the crossing, trips the dog, and the full-precision 6-DoF re-init (+ the GF's margin-gated hypothesis trial) re-acquires — 2 of 3 locked seeds; the rest re-lock flipped (at 40×30 the flip-vs-correct decision is within per-frame noise).",
         "- **two_obj** rotation is reported modulo the box's 4-element "
         "symmetry group (`rot_rmse_naive` in eval_results.json keeps "
         "the unquotiented number): the box's π-flips are genuinely "
-        "unidentifiable, not tracking error.",
+        "unidentifiable, not tracking error. Diagnosis (EVAL_TPU.md session 27): the quotient equals the naive metric — the error is NOT flip aliasing; at this suite's 512-particle budget it is joint-lineage particle starvation (on-chip sweep: box rot 0.264 → 0.121 at 2048, plateau ≈0.12 = the crossing-phase silhouette-contrast limit; pooled PF rotation at 8192 = 0.093 rad).",
         "- **sensor_u16** runs the full reference camera transport: "
         "native-resolution (4×) oracle render, Kinect-class edge "
         "artifacts (15 % shadow/flying pixels at discontinuities), u16 "
