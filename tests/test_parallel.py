@@ -512,3 +512,42 @@ def test_two_shard_counts_matches_all_gather():
     np.testing.assert_allclose(np.asarray(outs["counts"].states),
                                np.asarray(outs["all_gather"].states),
                                atol=1e-6)
+
+
+def test_mixed_trigger_sequence_counts_matches_all_gather():
+    """Six frames at a REAL KL threshold (some frames resample, some
+    don't): the cond-free counts path must stay bit-identical to
+    all_gather through the mixture — including the no-resample frames'
+    identity gathers leaving the occlusion leaf exactly unchanged."""
+    cam, mesh, tp, sensor = setup()
+    mesh_dev = dist_filter.make_particle_mesh(8)
+    pose0 = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                             se3.quat_identity()])
+    z_true = raycast_depth(mesh, pose0, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(z_true), z_true, jnp.nan)
+
+    def run(mode):
+        b = rbcpf.init_belief(jax.random.PRNGKey(31), pose0, 64,
+                              cam.num_pixels)
+        b = dist_filter.shard_belief(b, mesh_dev)
+        step = dist_filter.make_distributed_step(
+            mesh_dev, sensor, tp, 1.0 / 30.0, max_kl_divergence=0.8,
+            exchange=mode)
+        resampled = []
+        for _ in range(6):
+            lw_before = np.asarray(b.log_weights).copy()
+            b, ms, ess = step(b, z)
+            resampled.append(bool(np.asarray(b.log_weights).sum() == 0.0
+                                  and lw_before.sum() != 0.0))
+        return b, resampled
+
+    b_c, rs_c = run("counts")
+    b_g, rs_g = run("all_gather")
+    assert rs_c == rs_g
+    assert any(rs_c) and not all(rs_c), rs_c   # genuinely mixed triggers
+    np.testing.assert_allclose(np.asarray(b_c.occlusion),
+                               np.asarray(b_g.occlusion), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_c.states),
+                               np.asarray(b_g.states), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_c.log_weights),
+                               np.asarray(b_g.log_weights), atol=1e-6)
