@@ -501,7 +501,10 @@ def make_distributed_step(mesh: Mesh, loglik_fn: Callable,
 
     Returns step(belief_sharded, z_obs) → (belief_sharded, mean_state
     (K, 13), ess). The observation ``z_obs`` is replicated; all
-    particle-axis leaves stay sharded in and out (the belief is donated).
+    particle-axis leaves stay sharded in and out. The input belief is
+    DONATED (its buffers are invalidated — keep the returned belief;
+    to step the same belief through several step functions, e.g. for
+    exchange-mode A/B, rebuild or copy it first).
     Multi-object scenes run the reference's sequential coordinate blocks
     (D17/P3) with per-block KL-triggered global resampling — semantics
     identical to the single-device ``rbcpf_step``.

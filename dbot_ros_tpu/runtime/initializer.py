@@ -460,11 +460,10 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
                 hyp_kwargs = dict(hypotheses=hyp,
                                   hypothesis_logits=jnp.asarray(
                                       logits / temp))
-        try:
-            tracker.initialize(poses_model, first_frame=depth,
-                               **hyp_kwargs)
-        except TypeError:
-            tracker.initialize(poses_model, **hyp_kwargs)
+        if "first_frame" in inspect.signature(
+                tracker.initialize).parameters:
+            hyp_kwargs["first_frame"] = depth
+        tracker.initialize(poses_model, **hyp_kwargs)
         return poses_model, float(jnp.sum(scores))
 
     mesh = meshes[0]
@@ -473,9 +472,9 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
         return_beams=True, **kwargs)
     pose_model = base.to_model_frame(pose_center, mesh.center)
     hyp_kwargs = {}
+    import inspect
     if hasattr(tracker, "belief") and hasattr(
             getattr(type(tracker), "initialize", None), "__call__"):
-        import inspect
         if "hypotheses" in inspect.signature(
                 tracker.initialize).parameters:
             keep = beam_ll >= beam_ll.max() - hypothesis_margin
@@ -491,8 +490,8 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
                     hypotheses=hyp,
                     hypothesis_logits=(beam_ll[keep]
                                        - beam_ll.max()) / temp)
-    try:
-        tracker.initialize(pose_model, first_frame=depth, **hyp_kwargs)
-    except TypeError:
-        tracker.initialize(pose_model, **hyp_kwargs)
+    if "first_frame" in inspect.signature(
+            tracker.initialize).parameters:
+        hyp_kwargs["first_frame"] = depth
+    tracker.initialize(pose_model, **hyp_kwargs)
     return pose_model, score

@@ -119,9 +119,11 @@ def run(tracker, source, initial_pose=None,
                     "no initial pose, tracker not initialized, and source "
                     "has no ground truth")
             initial_pose = first.ground_truth
-        try:
+        import inspect
+        if "first_frame" in inspect.signature(
+                tracker.initialize).parameters:
             tracker.initialize(initial_pose, first_frame=first.depth)
-        except TypeError:
+        else:
             tracker.initialize(initial_pose)
 
     poses_out: List[np.ndarray] = []

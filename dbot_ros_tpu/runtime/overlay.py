@@ -128,12 +128,22 @@ def make_overlay_hook(meshes, camera, out_dir: str, every: int = 1,
     writes ``{out_dir}/{prefix}_{index:05d}.png`` every ``every``-th
     frame — the streaming RViz-marker analog."""
     os.makedirs(out_dir, exist_ok=True)
+    failures = [0]
 
     def hook(frame, poses, info):
-        if every <= 0 or frame.index % every:
+        if every <= 0 or frame.index % every or failures[0] >= 3:
             return
-        save_overlay(
-            os.path.join(out_dir, f"{prefix}_{frame.index:05d}.png"),
-            meshes, camera, poses, frame.depth)
+        try:
+            save_overlay(
+                os.path.join(out_dir, f"{prefix}_{frame.index:05d}.png"),
+                meshes, camera, poses, frame.depth)
+        except OSError as e:
+            # observability must never kill the tracking loop (disk
+            # full, dir removed); give up quietly after a few failures
+            failures[0] += 1
+            import sys
+            print(f"overlay write failed ({e}); "
+                  f"{'disabling' if failures[0] >= 3 else 'retrying'}",
+                  file=sys.stderr)
 
     return hook

@@ -31,7 +31,9 @@ class Frame:
     index: int
     depth: np.ndarray                       # (H, W) float32, NaN = invalid
     ground_truth: Optional[np.ndarray] = None  # (K, 7) model-frame poses
-    skipped: int = 0    # frames dropped since the last one (push sources)
+    # frames dropped since the last one; None = pull source (the count
+    # is only meaningful for push sources like ThreadedSource)
+    skipped: Optional[int] = None
 
 
 class ReplaySource:
@@ -379,14 +381,19 @@ class U16CameraAdapter:
         for fr in self.inner:
             cam = getattr(self.inner, "camera", None)
             d = np.asarray(fr.depth, np.float32)
-            if d.ndim == 1 and cam is not None:
+            if d.ndim == 1:
+                if cam is None:
+                    raise ValueError(
+                        "U16CameraAdapter needs (H, W) frames, or an "
+                        "inner source with a .camera to reshape flat "
+                        "frames")
                 d = d.reshape(cam.height, cam.width)
             mm = np.round(d * 1000.0)
             mm = np.where(np.isfinite(mm) & (mm > 0) & (mm < 65536),
                           mm, 0.0).astype(np.uint16)
             depth = preprocess_depth_u16(mm, self.downsampling)
             yield Frame(fr.index, depth, fr.ground_truth,
-                        getattr(fr, "skipped", 0))
+                        getattr(fr, "skipped", None))
 
 
 def scale_camera(camera: CameraModel, factor: int) -> CameraModel:

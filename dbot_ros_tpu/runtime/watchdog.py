@@ -50,6 +50,11 @@ class WatchdogConfig:
     # benign occlusions.
     beta_locked: float = 0.6            # sustained-depression threshold
     beta_locked_patience: int = 15
+    # Anti-thrash: if re-inits don't lift beta (a scene whose HEALTHY
+    # inlier rate sits below the threshold — heavy clutter, object
+    # partly out of frame), stop tripping on it after this many
+    # beta-locked trips.
+    beta_locked_max_trips: int = 2
     patience: int = 3                   # consecutive bad frames to trip
     ema_rate: float = 0.05              # baseline tracking rate
     warmup: int = 3                     # grace frames after start/re-init
@@ -69,6 +74,7 @@ class TrackingWatchdog:
         self._loglik_ema: Optional[float] = None
         self._loglik_mad = 0.0
         self._beta_low_streak = 0
+        self._beta_trips = 0
         self._bad_streak = 0
         self._frames = 0
         self.trip_count = 0
@@ -137,13 +143,17 @@ class TrackingWatchdog:
 
         # GF lock-in: inlier rate depressed for far longer than any
         # transient occlusion (separate long-patience streak).
-        if beta is not None and c.beta_locked > 0:
+        if beta is not None and c.beta_locked > 0 \
+                and self._beta_trips < c.beta_locked_max_trips:
             if float(beta) < c.beta_locked:
                 self._beta_low_streak += 1
             else:
                 self._beta_low_streak = 0
             if self._beta_low_streak >= c.beta_locked_patience:
+                self._beta_trips += 1   # survives reset(): per-run cap
+                beta_trips = self._beta_trips
                 self.reset()
+                self._beta_trips = beta_trips
                 self.trip_count += 1
                 return True
 
