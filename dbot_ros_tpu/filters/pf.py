@@ -43,15 +43,15 @@ def step(belief: SirBelief, obs, propagate: Callable, loglik: Callable,
     p = log_w.shape[0]
     ess = rs.effective_sample_size(log_w)
 
-    def do_resample(_):
-        idx = rs.systematic_indices(k_res, log_w, p)
-        return rs.resample_pytree(particles, idx), jnp.zeros_like(log_w)
-
-    def keep(_):
-        return particles, log_w
-
-    particles, log_w = jax.lax.cond(ess < ess_threshold * p, do_resample,
-                                    keep, None)
+    # ESS-triggered resample, cond-free (DESIGN.md anti-pattern #1: a
+    # lax.cond over particle-sized operands pays cond-boundary copies
+    # every frame): where-select the parent indices and gather
+    # unconditionally — identity on no-resample frames.
+    do = ess < ess_threshold * p
+    idx = jnp.where(do, rs.systematic_indices(k_res, log_w, p),
+                    jnp.arange(p, dtype=jnp.int32))
+    particles = rs.resample_pytree(particles, idx)
+    log_w = jnp.where(do, jnp.zeros_like(log_w), log_w)
     return SirBelief(particles=particles, log_weights=log_w, key=key)
 
 
