@@ -273,21 +273,7 @@ def main():
         "",
         "Notes:",
         "",
-        "- **occluder/rgf**: the RGF drifts a few cm while the bar "
-        "covers the object and usually re-acquires position once it "
-        "passes, but the crossing is BIMODAL in rotation: across seeds "
-        "0-3 the post-crossing rotation either recovers (~0.13 rad) or "
-        "locks into a wrong basin (~0.9-1.2 rad) — a structural "
-        "unimodal-GF limitation (the bar bisects the object; the "
-        "linearization's recovery radius is the probe width). Round-4 "
-        "work (annealed linearization floor + mixture-prior fix) halved "
-        "nominal rot RMSE (0.136 → 0.073) and the occluder worst-case "
-        "position (0.19 → 0.095 m over 4 seeds) but did not remove the "
-        "bimodality; tighter/looser trust regions and misfit-adaptive "
-        "probe widening all measured worse (see git history). The PF's "
-        "Rao-Blackwellized occlusion chain tracks straight through "
-        "(2.4 mm) — the papers' qualitative PF-vs-GF comparison, "
-        "sharpened. The watchdog's sustained-beta lock-in detector (round 4) recovers the closed loop on some seeds: a locked run's inlier rate stays depressed (0.40-0.52) long after the crossing, trips the dog, and the full-precision 6-DoF re-init (+ the GF's margin-gated hypothesis trial) re-acquires — 2 of 3 locked seeds; the rest re-lock flipped (at 40×30 the flip-vs-correct decision is within per-frame noise).",
+        "- **occluder/rgf**: SOLVED by temporal occlusion memory (round 4, on by default): the per-pixel occluder-prior chain (the PF's D10 occlusion process adapted to the GF mixture, filters/rgf.py) keeps recently-occluder-explained pixels suspicious, which both damps the bar-crossing drift (worst-case position 0.054-0.095 m -> 0.017-0.022 m across seeds 0-3) and eliminates the post-crossing rotation lock-in entirely (0.90-1.20 rad -> 0.087-0.106). Before the chain, the crossing was bimodal and trust-region/probe-widening tuning all measured worse (git history); the watchdog's sustained-beta detector + GF hypothesis-trial re-init remain as the safety net for wrong-basin states however they arise. The PF's Rao-Blackwellized chain still tracks straight through (2.4 mm) — and the GF now carries the same structural idea.",
         "- **two_obj** rotation is reported modulo the box's 4-element "
         "symmetry group (`rot_rmse_naive` in eval_results.json keeps "
         "the unquotiented number): the box's π-flips are genuinely "

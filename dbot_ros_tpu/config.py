@@ -99,6 +99,14 @@ class GaussianTrackerConfig:
     transition: TransitionConfig = dataclasses.field(
         default_factory=TransitionConfig)
     update_iterations: int = 3
+    # Temporal occlusion memory (default ON): per-pixel occluder-prior
+    # chain (the PF's D10 occlusion process, adapted to the GF's
+    # mixture; uses the observation config's p_occluded_*). Measured
+    # (round 4, occluder protocol over 4 seeds): worst-case position
+    # 0.054-0.095 m -> 0.017-0.022 m and rotation lock-ins eliminated
+    # (0.90-1.20 rad -> 0.087-0.106), at a small nominal cost
+    # (rot 0.073 -> 0.087).
+    occlusion_memory: bool = True
     # Evaluate the update on every s-th pixel (ICRA-2016 §experiments uses
     # sparse pixel subsets; 1 = all pixels; <= 0 = auto degrade-to-budget
     # via ops/budget.rgf_pixel_stride — the GF analog of the reference's

@@ -27,6 +27,12 @@ mode observed on synthetic scenes — see the update() docstring):
      so silhouette gradients survive belief contraction.
   4. Iterated (IPLF-style) update with trust-region steps, since the
      render is discontinuous in the pose.
+  5. Temporal occlusion memory (default on via the tracker config): the
+     per-pixel clutter-component prior is a D10-style occlusion chain
+     over the pixel's own responsibility history instead of a flat
+     tail weight — the GF-side analog of the PF's Rao-Blackwellized
+     occlusion state. Measured: eliminates the occluder-crossing drift
+     and rotation lock-in (EVAL.md occluder note).
 
 The render path is shared with the particle filter: the 25 sigma states are
 just a tiny particle batch through ops/raycast (the reference's D5 sharing).
@@ -35,6 +41,7 @@ just a tiny particle batch through ops/raycast (the reference's D5 sharing).
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +73,9 @@ class GaussianBelief:
     cov: jax.Array
     background: jax.Array
     key: jax.Array  # kept for API symmetry with ParticleBelief
+    # Optional per-pixel occlusion-probability memory (the D10 chain for
+    # the GF, opt-in): None = the instantaneous per-frame mixture only.
+    occ_prior: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -78,7 +88,8 @@ class RgfStepInfo:
 
 def init_belief(key, initial_pose, num_pixels: int = 0, first_frame=None,
                 pos_sigma=0.02, rot_sigma=0.1, vel_sigma=0.1,
-                background_depth=5.0) -> GaussianBelief:
+                background_depth=5.0,
+                initial_occlusion_prob=None) -> GaussianBelief:
     """Gaussian init around the given pose(s) (ref: GaussianTracker init).
 
     ``initial_pose`` (7,) → single-object belief (mean (13,), cov 12×12);
@@ -100,8 +111,10 @@ def init_belief(key, initial_pose, num_pixels: int = 0, first_frame=None,
                        jnp.float32(background_depth))
     else:
         bg = jnp.full((num_pixels,), jnp.float32(background_depth))
+    occ_prior = (None if initial_occlusion_prob is None else
+                 jnp.full_like(bg, jnp.float32(initial_occlusion_prob)))
     return GaussianBelief(mean=mean, cov=jnp.diag(diag), background=bg,
-                          key=key)
+                          key=key, occ_prior=occ_prior)
 
 
 def _scene_mean(mean):
@@ -127,7 +140,8 @@ def predict(belief: GaussianBelief, dt, params: TransitionParams,
     cov = cov + (Q if K == 1 else
                  jnp.kron(jnp.eye(K, dtype=cov.dtype), Q))
     return GaussianBelief(mean=mean[0] if single else mean, cov=cov,
-                          background=belief.background, key=belief.key)
+                          background=belief.background, key=belief.key,
+                          occ_prior=belief.occ_prior)
 
 
 def _gauss(y, m, var):
@@ -155,7 +169,7 @@ def update(belief: GaussianBelief, z_obs, render_fn,
            bp: beam_mod.BeamParams, ut=None, iterations: int = 3,
            trust_sigma: float = 1.0, lin_floor_pos: float = 0.008,
            lin_floor_rot: float = 0.04, bg_sigma: float = 0.02,
-           invalid_discount: float = 0.25):
+           invalid_discount: float = 0.25, occ_params=None):
     """Robust multi-sensor measurement update (see module docstring).
 
     Design notes, each grounded in a failure mode this replaces:
@@ -184,6 +198,21 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     step_cap = trust_sigma * jnp.sqrt(jnp.diagonal(P))
     bg = belief.background
     bg_sigma_sq = jnp.float32(bg_sigma) ** 2
+
+    # Optional temporal occlusion memory (the D10 chain for the GF):
+    # the per-pixel clutter/occluder component prior becomes the
+    # chain-propagated occlusion probability instead of the flat
+    # tail_weight — a pixel recently explained by an occluder stays
+    # suspicious, one recently surface-explained takes more evidence to
+    # write off. With occ_prior None (default) w_c is the scalar
+    # tail_weight and behavior is bit-identical to the memoryless GF.
+    if belief.occ_prior is not None and occ_params is not None:
+        from dbot_ros_tpu.models import occlusion as occ_mod
+        occ_pred = occ_mod.propagate(belief.occ_prior, occ_params, 1.0)
+        w_c = jnp.clip(occ_pred, bp.tail_weight, 0.95)
+    else:
+        occ_pred = None
+        w_c = bp.tail_weight
 
     # Linearization spread floor: once the belief contracts below one
     # pixel's metric size, all sigma points agree on every pixel and the
@@ -272,19 +301,19 @@ def update(belief: GaussianBelief, z_obs, render_fn,
         # responsibilities skew ~2 % toward obj/bg (advisor r3).
         c_obj = jnp.where(
             valid,
-            p_hit * (1.0 - bp.tail_weight) * _gauss(y, m, s_yy + R),
-            p_hit * (1.0 - bp.tail_weight) * bp.p_invalid_visible)
+            p_hit * (1.0 - w_c) * _gauss(y, m, s_yy + R),
+            p_hit * (1.0 - w_c) * bp.p_invalid_visible)
         c_bg = jnp.where(
             valid,
-            (1.0 - p_hit) * (1.0 - bp.tail_weight)
+            (1.0 - p_hit) * (1.0 - w_c)
             * _gauss(y, bg, bg_sigma_sq + R),
-            (1.0 - p_hit) * (1.0 - bp.tail_weight)
+            (1.0 - p_hit) * (1.0 - w_c)
             * bp.p_invalid_background)
         front = p_hit * m + (1.0 - p_hit) * bg
         c_clut = jnp.where(
             valid,
-            bp.tail_weight * _occluder_tail(y, front, bp),
-            bp.tail_weight * bp.p_invalid_occluded)
+            w_c * _occluder_tail(y, front, bp),
+            w_c * bp.p_invalid_occluded)
         total = jnp.maximum(c_obj + c_bg + c_clut, 1e-30)
         r_obj = c_obj / total
         r_bg = c_bg / total
@@ -393,9 +422,16 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     bg_new = jnp.where(learn, 0.8 * bg + 0.2
                        * jnp.where(jnp.isfinite(z_obs), z_obs, bg), bg)
 
+    occ_prior_new = belief.occ_prior
+    if occ_pred is not None:
+        valid_px = jnp.isfinite(z_obs) & (z_obs >= bp.min_depth) \
+            & (z_obs <= bp.max_depth)
+        r_clut_f = jnp.clip(1.0 - r_obj - r_bg, 0.0, 1.0)
+        occ_prior_new = jnp.where(valid_px, r_clut_f, occ_pred)
+
     mean_out = mean[0] if single else mean
     nb = GaussianBelief(mean=mean_out, cov=cov_new, background=bg_new,
-                        key=belief.key)
+                        key=belief.key, occ_prior=occ_prior_new)
     (H_d, iR_d, innov_d), _ = chans
     w = r_obj / jnp.maximum(jnp.sum(r_obj), 1e-6)
     # mean object-responsibility over pixels the belief expects to be

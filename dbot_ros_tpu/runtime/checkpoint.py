@@ -49,6 +49,8 @@ def save_belief(path: str, belief) -> None:
     arrays = {}
     for f in dataclasses.fields(belief):
         v = getattr(belief, f.name)
+        if v is None:
+            continue                      # optional field (e.g. occ_prior)
         leaves = jax.tree_util.tree_leaves(v)
         if len(leaves) == 1 and not isinstance(v, (tuple, list)):
             arr, tag = _encode(v)
@@ -84,6 +86,8 @@ def load_belief(path: str):
                     break
                 leaves.append(leaf)
             if not leaves:
+                if f.default is None:
+                    continue             # optional field left at default
                 raise KeyError(f"checkpoint missing field {f.name!r}")
             kwargs[f.name] = tuple(leaves)
     return cls(**kwargs)

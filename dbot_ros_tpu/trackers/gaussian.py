@@ -21,7 +21,7 @@ import numpy as np
 
 from dbot_ros_tpu import config as cfg
 from dbot_ros_tpu.filters import rgf
-from dbot_ros_tpu.models import beam, transition
+from dbot_ros_tpu.models import beam, occlusion, transition
 from dbot_ros_tpu.ops.raycast import raycast_depth
 from dbot_ros_tpu.trackers import base
 from dbot_ros_tpu.trackers.particle import build_camera, build_meshes
@@ -85,6 +85,10 @@ class GaussianTracker:
             return depth
 
         self._dt = 1.0 / config.camera.frame_rate
+        self._occ_params = (occlusion.make_occlusion_params(
+            obs.p_occluded_visible, obs.p_occluded_occluded,
+            obs.initial_occlusion_prob)
+            if config.occlusion_memory else None)
         self._step = jax.jit(functools.partial(
             rgf.rgf_step, render_fn=render_fn,
             trans_params=self.trans_params, dt=self._dt,
@@ -92,7 +96,8 @@ class GaussianTracker:
             trust_sigma=config.trust_sigma,
             lin_floor_pos=config.lin_floor_pos,
             lin_floor_rot=config.lin_floor_rot,
-            bg_sigma=config.bg_sigma))
+            bg_sigma=config.bg_sigma,
+            occ_params=self._occ_params))
         self.belief: Optional[rgf.GaussianBelief] = None
         self._smoothed = None
         self._trial = None
@@ -117,7 +122,10 @@ class GaussianTracker:
             num_pixels=num_pixels, first_frame=first_frame,
             pos_sigma=c.init_pos_sigma, rot_sigma=c.init_rot_sigma,
             vel_sigma=c.init_vel_sigma,
-            background_depth=float(self.beam_params.max_depth))
+            background_depth=float(self.beam_params.max_depth),
+            initial_occlusion_prob=(
+                float(self.config.observation.initial_occlusion_prob)
+                if c.occlusion_memory else None))
 
     def initialize(self, pose_model, first_frame=None, hypotheses=None,
                    hypothesis_logits=None, trial_frames: int = 6,

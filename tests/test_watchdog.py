@@ -223,8 +223,20 @@ def test_watchdog_beta_depression_recovers_rgf_lockin():
     from dbot_ros_tpu.runtime.watchdog import TrackingWatchdog, \
         WatchdogConfig
 
+    from dbot_ros_tpu import config as _cfg
+    from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+
     cam, mesh, occluder = build_scene()
-    tracker = make_tracker("rgf", cam, mesh, 512, "occluder")
+    # occlusion_memory OFF on purpose: the memoryless GF is what locks
+    # in (the default memory chain prevents the lock-in outright —
+    # that's its headline win); this test covers the DETECTOR+RECOVERY
+    # safety net for wrong-basin states however they arise.
+    conf = _cfg.GaussianTrackerConfig(
+        observation=_cfg.ObservationConfig(model_sigma=0.005,
+                                           sigma_factor=0.0),
+        transition=_cfg.TransitionConfig(0.4, 2.5, damping=6.0),
+        update_iterations=6, trust_sigma=1.5, occlusion_memory=False)
+    tracker = GaussianTracker(conf, meshes=[mesh], camera=cam)
     wd = TrackingWatchdog(WatchdogConfig())
     run = node.run(tracker,
                    make_source("occluder", cam, mesh, occluder, 60,
