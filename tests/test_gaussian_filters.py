@@ -289,3 +289,59 @@ def test_rgf_scene_two_objects_closed_loop():
     assert final[0] < 0.015, (final, errs)
     assert final[1] < 0.015, (final, errs)
     assert info.mean_state.shape == (2, 13)
+
+
+def test_rgf_occlusion_memory_tracks_occluder_pixels():
+    """The D10-chain clutter prior (round 4): pixels showing a surface
+    in FRONT of the object accumulate occlusion probability across
+    frames; visible-surface pixels stay near the baseline; with
+    occ_prior=None behavior is the memoryless filter."""
+    import jax
+    import jax.numpy as jnp
+
+    from dbot_ros_tpu.filters import rgf
+    from dbot_ros_tpu.models import beam as bm
+    from dbot_ros_tpu.models import occlusion as om
+    from dbot_ros_tpu.ops.raycast import raycast_depth
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh
+    from dbot_ros_tpu.utils import se3
+
+    K = np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    mesh = box_mesh(0.10, 0.08, 0.05)
+    pose = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                            se3.quat_identity()])
+    bp = bm.make_beam_params(model_sigma=0.005, sigma_factor=0.0)
+    op = om.make_occlusion_params()
+
+    def render_fn(poses):
+        return raycast_depth(mesh, poses, cam.rays)
+
+    d = raycast_depth(mesh, pose, cam.rays, 128)
+    on_obj = np.isfinite(np.asarray(d))
+    z = jnp.where(jnp.isfinite(d), d, 2.0)
+    # an "occluder" covers the left half of the object's pixels at 0.45 m
+    cols = np.arange(cam.num_pixels) % cam.width
+    occluded_px = on_obj & (cols < 16)
+    z_occ = jnp.where(jnp.asarray(occluded_px), 0.45, z)
+
+    b = rgf.init_belief(jax.random.PRNGKey(0), pose,
+                        num_pixels=cam.num_pixels, first_frame=z,
+                        initial_occlusion_prob=0.1)
+    assert b.occ_prior is not None
+    for _ in range(4):
+        b, info = rgf.update(b, z_occ, render_fn, bp, occ_params=op,
+                             iterations=2)
+    occ = np.asarray(b.occ_prior)
+    assert occ[occluded_px].mean() > 0.8, occ[occluded_px].mean()
+    visible_px = on_obj & (cols >= 18)
+    assert occ[visible_px].mean() < 0.3, occ[visible_px].mean()
+
+    # memoryless path: occ_prior stays None and the update runs
+    b0 = rgf.init_belief(jax.random.PRNGKey(0), pose,
+                         num_pixels=cam.num_pixels, first_frame=z)
+    assert b0.occ_prior is None
+    b0, _ = rgf.update(b0, z_occ, render_fn, bp, occ_params=op,
+                       iterations=2)
+    assert b0.occ_prior is None
