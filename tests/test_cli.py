@@ -103,3 +103,19 @@ def test_track_explicit_initial_pose_and_checkpoint(config_path, tmp_path):
                  "--initial-pose", "0 0 0.6 1 0 0 0",
                  "--checkpoint", ckpt, "--checkpoint-every", "4"]) == 0
     assert os.path.exists(ckpt)
+
+
+def test_example_configs_parse():
+    """The committed examples/ configs (the reference's config/*.yaml
+    analog, R10) must load into valid tracker configs."""
+    import os
+
+    from dbot_ros_tpu import config as cfg
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples")
+    pc = cfg.load_config(os.path.join(root, "particle_tracker.yaml"))
+    assert isinstance(pc, cfg.ParticleTrackerConfig)
+    assert pc.evaluation_count == 10000 and pc.backend == "pallas"
+    gc = cfg.load_config(os.path.join(root, "gaussian_tracker.yaml"))
+    assert isinstance(gc, cfg.GaussianTrackerConfig)
+    assert gc.occlusion_memory and gc.update_iterations == 6
