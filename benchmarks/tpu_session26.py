@@ -56,10 +56,14 @@ WSTEPS = int(os.environ.get("S26_WSTEPS", 60))
 
 print("devices:", jax.devices(), flush=True)
 
-results = {"particles": P, "resolution": "80x60", "frames": FRAMES,
-           "backend": "pallas (production defaults: 2 candidates/2-px "
-                      "dilation, bf16 occ, compaction ladder)",
-           "accuracy": {}, "dist_overhead_ms": {}}
+import json as _json  # noqa: E402 (re-import safe)
+results = _json.load(open(OUT)) if os.path.exists(OUT) else {}
+# merge-don't-wipe: sessions 27-31 append their own sections
+results.update({"particles": P, "resolution": "80x60", "frames": FRAMES,
+                "backend": "pallas (production defaults: 2 candidates/"
+                           "2-px dilation, bf16 occ, compaction ladder)"})
+results.setdefault("accuracy", {})
+results.setdefault("dist_overhead_ms", {})
 
 
 def flush():

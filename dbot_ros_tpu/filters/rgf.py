@@ -169,7 +169,8 @@ def update(belief: GaussianBelief, z_obs, render_fn,
            bp: beam_mod.BeamParams, ut=None, iterations: int = 3,
            trust_sigma: float = 1.0, lin_floor_pos: float = 0.008,
            lin_floor_rot: float = 0.04, bg_sigma: float = 0.02,
-           invalid_discount: float = 0.25, occ_params=None):
+           invalid_discount: float = 0.25, occ_params=None,
+           occ_dt_frames: float = 1.0):
     """Robust multi-sensor measurement update (see module docstring).
 
     Design notes, each grounded in a failure mode this replaces:
@@ -208,7 +209,11 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # tail_weight and behavior is bit-identical to the memoryless GF.
     if belief.occ_prior is not None and occ_params is not None:
         from dbot_ros_tpu.models import occlusion as occ_mod
-        occ_pred = occ_mod.propagate(belief.occ_prior, occ_params, 1.0)
+        # one frame interval at the tracker's nominal rate; pass the
+        # true dt·frame_rate when frames are dropped (PF sensors do
+        # the same conversion, raycast_pallas dtf)
+        occ_pred = occ_mod.propagate(belief.occ_prior, occ_params,
+                                     occ_dt_frames)
         w_c = jnp.clip(occ_pred, bp.tail_weight, 0.95)
     else:
         occ_pred = None
@@ -349,7 +354,8 @@ def update(belief: GaussianBelief, z_obs, render_fn,
             * (r_obj + r_bg) / var_s
         innov_s = o_obs - p_hit
 
-        return (H_d, iR_d, innov_d), (H_s, iR_s, innov_s), r_obj, r_bg, p_hit
+        return ((H_d, iR_d, innov_d), (H_s, iR_s, innov_s),
+                r_obj, r_bg, p_hit, valid)
 
     def information(channels):
         Lam = P_inv
@@ -374,9 +380,9 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # iterations×trust_sigma sigmas in one frame (the runaway that
     # preceded the r2 occluder divergence).
     mean = mean0
-    chans = r_obj = r_bg = p_hit = None
+    chans = r_obj = r_bg = p_hit = valid_px = None
     for _ in range(iterations):
-        chan_d, chan_s, r_obj, r_bg, p_hit = linearize(mean)
+        chan_d, chan_s, r_obj, r_bg, p_hit, valid_px = linearize(mean)
         chans = (chan_d, chan_s)
         on_obj_f = (p_hit > 0.5).astype(jnp.float32)
         # Gate on *occluder evidence*, not raw inlier rate: a fast-motion
@@ -424,10 +430,11 @@ def update(belief: GaussianBelief, z_obs, render_fn,
 
     occ_prior_new = belief.occ_prior
     if occ_pred is not None:
-        valid_px = jnp.isfinite(z_obs) & (z_obs >= bp.min_depth) \
-            & (z_obs <= bp.max_depth)
-        r_clut_f = jnp.clip(1.0 - r_obj - r_bg, 0.0, 1.0)
-        occ_prior_new = jnp.where(valid_px, r_clut_f, occ_pred)
+        # the responsibilities are informative on INVALID pixels too
+        # (the invalid-branch point masses: p_invalid_occluded >>
+        # p_invalid_visible) — the chain accumulates everywhere, like
+        # the PF's D10 posterior in image_loglik
+        occ_prior_new = jnp.clip(1.0 - r_obj - r_bg, 0.0, 1.0)
 
     mean_out = mean[0] if single else mean
     nb = GaussianBelief(mean=mean_out, cov=cov_new, background=bg_new,

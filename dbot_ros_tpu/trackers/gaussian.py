@@ -169,7 +169,16 @@ class GaussianTracker:
                                "margin": float(trial_switch_margin)}
 
     def restore(self, belief: rgf.GaussianBelief):
-        """Resume from a checkpointed belief (runtime/checkpoint.py)."""
+        """Resume from a checkpointed belief (runtime/checkpoint.py).
+
+        A pre-round-4 checkpoint carries no occlusion-memory leaf; with
+        occlusion_memory configured on, re-seed it at the initial prior
+        rather than silently degrading to the memoryless filter."""
+        if belief.occ_prior is None and self._occ_params is not None:
+            import dataclasses as _dc
+            belief = _dc.replace(belief, occ_prior=jnp.full_like(
+                belief.background,
+                jnp.float32(self.config.observation.initial_occlusion_prob)))
         self.belief = belief
         self._smoothed = belief.mean[..., :7]
         self._trial = None

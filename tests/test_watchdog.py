@@ -218,7 +218,7 @@ def test_watchdog_beta_depression_recovers_rgf_lockin():
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "benchmarks"))
-    from eval_suite import build_scene, make_source, make_tracker
+    from eval_suite import build_scene, make_source
     from dbot_ros_tpu.runtime import node
     from dbot_ros_tpu.runtime.watchdog import TrackingWatchdog, \
         WatchdogConfig
