@@ -113,9 +113,23 @@ class GaussianTrackerConfig:
     # BufferConfiguration D14). Applied on the flattened (downsampled)
     # pixel grid; background/renders follow the same subset.
     pixel_stride: int = 1
+    # Sigma-point render backend (VERDICT r4 item 1): "deferred" =
+    # candidate one-hot MXU pass (one exact reference scan per IPLF
+    # iteration + per-sigma candidate matmuls — the PF's D12 candidate
+    # machinery shared with the GF, as the reference shares D5);
+    # "exact" = full scan-over-triangles per sigma pose (oracle path).
+    sigma_backend: str = "deferred"
+    sigma_radius: int = 3        # candidate dilation radius (pixels)
+    sigma_candidates: int = 6    # candidate triangle ids per pixel
     trust_sigma: float = 1.0
     lin_floor_pos: float = 0.008
     lin_floor_rot: float = 0.04
+    # Linearization-probe CAP (upper twin of the floor): bounds the
+    # sigma-point probe and per-step trust radius when dt-aware
+    # prediction inflates P over dropped-frame gaps — reach beyond the
+    # cap comes from iterated re-renders (filters/rgf.py update()).
+    lin_cap_pos: float = 0.04
+    lin_cap_rot: float = 0.25
     bg_sigma: float = 0.02
     init_pos_sigma: float = 0.02
     init_rot_sigma: float = 0.1

@@ -134,6 +134,66 @@ def candidate_ids(ids, height: int, width: int, radius: int = 2,
     return jnp.stack(out[:num_candidates], axis=-1)  # (N, K)
 
 
+def candidate_ids_dynamic(ids, height: int, width: int, spread_px,
+                          num_candidates: int = 6):
+    """Spread-adaptive candidate ids (N, K): offsets scale with the
+    (traced) sigma-cloud pixel footprint.
+
+    The static :func:`candidate_ids` samples a FIXED (2r+1)²
+    neighborhood — correct while the sigma spread stays under r pixels,
+    but a Gaussian filter's spread is state-dependent: after a dropped-
+    frame gap (dt-aware prediction inflates P by Q(dt)) or at recovery
+    init the spread reaches many pixels and fixed-radius candidates
+    miss the true silhouette entirely (measured: the dt-aware GF
+    DIVERGED on a drop-heavy stream while the exact render tracked).
+    Here the three sampling rings sit at ⌈spread·{⅓,⅔,1}⌉ pixels —
+    traced integer gather offsets, clipped at the image border — so
+    coverage follows the belief at identical cost.
+    """
+    img = ids.reshape(height, width)
+    yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
+                          indexing="ij")
+    spread = jnp.maximum(jnp.asarray(spread_px, jnp.float32), 1.0)
+    radii = [jnp.maximum(jnp.round(spread * f), float(i + 1))
+             .astype(jnp.int32)
+             for i, f in enumerate((1 / 3, 2 / 3, 1.0))]
+
+    def shifted(dy, dx):
+        y = jnp.clip(yy + dy, 0, height - 1)
+        x = jnp.clip(xx + dx, 0, width - 1)
+        return img[y, x]
+
+    cand = [img]
+    # direction-major order so the first distinct ids span directions
+    # before refining radii (the slot fill below keeps the first K
+    # distinct per pixel — radius-major would spend all slots on one
+    # ring)
+    for uy, ux in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                   (1, 1), (-1, -1), (1, -1), (-1, 1)):
+        for r in radii:
+            s = shifted(uy * r, ux * r)
+            cand.append(jnp.where(s >= 0, s, img))
+    stack = jnp.stack(cand, axis=-1).reshape(ids.shape[0], -1)
+
+    # true first-K-distinct fill per pixel: scan ALL offset columns,
+    # keeping each pixel's first num_candidates distinct ids (the old
+    # greedy break only ever examined the first K columns)
+    n = stack.shape[0]
+    rows = jnp.arange(n)
+    taken = jnp.full((n, num_candidates), -2, stack.dtype)
+    count = jnp.zeros((n,), jnp.int32)
+    for j in range(stack.shape[1]):
+        col = stack[:, j]
+        dup = jnp.any(col[:, None] == taken, axis=1)
+        place = (~dup) & (count < num_candidates)
+        slot = jnp.clip(count, 0, num_candidates - 1)
+        cur = taken[rows, slot]
+        taken = taken.at[rows, slot].set(jnp.where(place, col, cur))
+        count = count + place.astype(jnp.int32)
+    # unfilled slots duplicate the pixel's own id (harmless re-test)
+    return jnp.where(taken == -2, stack[:, 0:1], taken)  # (N, K)
+
+
 def one_hot_selectors(cand, num_triangles: int):
     """Candidate ids (N, K) → K one-hot matrices (K, N, T) (bf16-able).
 
@@ -185,6 +245,91 @@ def deferred_depth(mesh: TriangleMesh, poses, rays, selectors,
     for k in range(1, selectors.shape[0]):
         depth = jnp.minimum(depth, per_candidate(selectors[k]))
     return depth.T                                        # (P, N)
+
+
+def make_sigma_renderer(meshes, rays, height: int, width: int,
+                        pixel_idx=None, radius: int = 3,
+                        num_candidates: int = 6, tri_chunk: int = 512,
+                        bary_slack: float = None,
+                        bary_slack_px: float = 0.25):
+    """Candidate-set renderer for *sigma-point* batches (the GF hot path).
+
+    Returns ``render_fn(poses)`` matching the RGF render contract
+    (filters/rgf.py update(): poses (S, 7) single-object | (S, K, 7)
+    scene → depth (S, n_sub); inf = miss). Sigma point 0 is by
+    construction the UT mean (ops/sigma_points.py: deltas[0] = 0), so
+    ``poses[0]`` serves as the per-call reference pose — the exact
+    reference pass re-runs at the *current* iterate every IPLF
+    iteration, and the candidate dilation only has to cover the sigma
+    spread around it (≈3.6 marginal stds), not cumulative trust-region
+    motion.
+
+    This replaces the exact scan-over-triangles render of all 25 sigma
+    poses (VPU-bound, the GF's dominant cost — SURVEY §3.2 hot loop)
+    with 1 exact single-pose scan + MXU one-hot candidate matmuls:
+    per-sigma-render work drops by ~T/num_candidates (≈200× for the
+    1408-triangle benchmark mesh). The reference shares its CPU
+    renderer (D5) between both filters the same way the PF's deferred
+    backend is shared here.
+
+    Args:
+      meshes: list of TriangleMesh (K objects; min-depth composition).
+      rays: FULL camera ray grid (N, 3) — the reference pass and the
+        candidate dilation need image structure even when the update
+        runs on a pixel subset.
+      pixel_idx: optional (n_sub,) indices into the flattened grid
+        (the tracker's pixel_stride subset); None = all pixels.
+      radius: MINIMUM candidate ring radius in pixels — the actual
+        rings scale with the sigma cloud's pixel footprint per call
+        (candidate_ids_dynamic), so coverage follows the belief
+        through dropped-frame gaps and recovery inits.
+      num_candidates: candidate triangle ids per pixel.
+    """
+    from dbot_ros_tpu.ops import slack as slack_mod
+    from dbot_ros_tpu.utils import se3
+
+    pitch = slack_mod.ray_pitch(rays, height, width)
+    med_edge = slack_mod.median_edge(meshes)
+    rays_sub = rays if pixel_idx is None else rays[pixel_idx]
+    meshes = list(meshes)
+    bound_r = [float(np.linalg.norm(np.asarray(m.vertices), axis=1).max())
+               for m in meshes]
+
+    def render(poses):
+        single = poses.ndim == 2
+        depth = None
+        for k, m in enumerate(meshes):
+            p = poses if single else poses[:, k, :]
+            _, ids = raycast_ids(m, p[0], rays, tri_chunk)
+            # sigma-cloud pixel footprint: worst translation offset plus
+            # worst rotation angle × mesh bounding radius, in pixels at
+            # the reference depth — the candidate rings scale with it
+            # (state-dependent spread: dropped-frame gaps and recovery
+            # inits reach many pixels; see candidate_ids_dynamic)
+            t_spread = jnp.max(jnp.linalg.norm(p[:, :3] - p[0, :3],
+                                               axis=-1))
+            ang = jnp.max(jnp.linalg.norm(
+                se3.quat_boxminus(p[:, 3:7], p[0, 3:7]), axis=-1))
+            z0 = jnp.maximum(p[0, 2], 0.2)
+            spread_px = (t_spread + ang * bound_r[k]) / (pitch * z0)
+            spread_px = jnp.clip(spread_px, float(radius),
+                                 0.5 * max(height, width))
+            cand = candidate_ids_dynamic(ids, height, width, spread_px,
+                                         num_candidates)
+            if pixel_idx is not None:
+                cand = cand[pixel_idx]
+            sel = one_hot_selectors(cand, m.padded_triangles)
+            if bary_slack is not None:
+                slack = jnp.float32(bary_slack)
+            else:
+                zbar = slack_mod.cloud_depth(p[..., 2])
+                slack = slack_mod.auto_bary_slack(zbar, pitch, med_edge,
+                                                  bary_slack_px)
+            d = deferred_depth(m, p, rays_sub, sel, bary_slack=slack)
+            depth = d if depth is None else jnp.minimum(depth, d)
+        return depth
+
+    return render
 
 
 def make_deferred_renderer(mesh: TriangleMesh, rays, height: int,

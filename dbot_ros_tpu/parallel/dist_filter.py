@@ -644,9 +644,15 @@ def make_multi_scene_step(mesh: Mesh, loglik_fn: Callable,
     axis spanning processes (tests/test_multihost.py).
 
     Note: the per-block resampling path is cond-free (where-selected
-    parents, unconditional collectives — see ``_resample_block``), so
-    it vmaps over scenes without branch linearization; collective order
-    is uniform across the particle axis by construction.
+    parents, unconditional collectives — see ``_resample_block``) for
+    the default ``counts`` exchange when (capacity, max_hops) make
+    overflow statically impossible, so it vmaps over scenes without
+    branch linearization; collective order is uniform across the
+    particle axis by construction. The all_gather/ring/neighbor modes
+    and the counts overflow fallback still wrap their collectives in an
+    occ-only ``lax.cond`` that linearizes to a select under the scene
+    vmap (both branches paid) — prefer counts with ample capacity for
+    multi-scene meshes (advisor r4).
 
     step(belief, z_obs) → (belief, mean_states (S, K, 13), ess (S,)),
     where z_obs is (S, N) sharded over the scene axis.

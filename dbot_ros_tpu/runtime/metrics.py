@@ -24,6 +24,9 @@ class FrameMetrics:
     mean_beta: Optional[float] = None     # gaussian filter inlier rate
     innovation_rms: Optional[float] = None
     skipped: Optional[int] = None         # frames dropped by a push source
+    # racing init-hypothesis count during a GF multi-hypothesis trial
+    # (per-frame latency multiplies by it — advisor r4 attribution)
+    trial_hypotheses: Optional[int] = None
 
     @classmethod
     def from_info(cls, frame: int, info, latency_s: float):

@@ -146,11 +146,25 @@ def run(tracker, source, initial_pose=None,
                 return True
             time.sleep(0.01)
 
+    # Variable frame-interval wiring (ref D7/R5 — dt-aware transitions +
+    # real timestamp tracking): when the source reports dropped frames
+    # (ThreadedSource drop-oldest sets frame.skipped), the transition
+    # noise and occlusion chains must propagate over the REAL interval
+    # (1 + skipped) / frame_rate, or drop-heavy streams leave the belief
+    # overconfident. Trackers expose the nominal interval as ``_dt``.
+    base_dt = getattr(tracker, "_dt", None)
+
     def handle(frame):
         if not pump_service(frame):
             return False                          # shutdown requested
         t0 = time.perf_counter()
-        poses, info = tracker.track(frame.depth)
+        trial_n = getattr(tracker, "trial_active", None)
+        skipped = getattr(frame, "skipped", None)
+        if base_dt is not None and skipped:
+            poses, info = tracker.track(frame.depth,
+                                        dt=base_dt * (1 + skipped))
+        else:
+            poses, info = tracker.track(frame.depth)
         poses = np.asarray(poses)
         if poses.ndim == 1:
             poses = poses[None]
@@ -160,7 +174,8 @@ def run(tracker, source, initial_pose=None,
             gt = np.asarray(frame.ground_truth)
             gt_out.append(gt if gt.ndim == 2 else gt[None])
         m = FrameMetrics.from_info(frame.index, info, latency)
-        m.skipped = getattr(frame, "skipped", None)
+        m.skipped = skipped
+        m.trial_hypotheses = trial_n
         log.append(m)
         if on_frame is not None:
             on_frame(frame, poses, info)
@@ -171,8 +186,12 @@ def run(tracker, source, initial_pose=None,
             # watchdog re-arms and retries on a later frame.
             from dbot_ros_tpu.runtime.initializer import initialize_tracker
             try:
+                # flip-aware recovery (VERDICT r4 item 4): a re-init
+                # after a lock-in must race ≥2 beam hypotheses — the
+                # wrong basin can win the single-frame search argmax
                 initialize_tracker(tracker, frame.depth,
-                                   **(reinit_kwargs or {}))
+                                   **{"min_hypotheses": 2,
+                                      **(reinit_kwargs or {})})
                 reinit_frames.append(frame.index)
             except Exception as e:  # noqa: BLE001 - keep tracking
                 import sys as _sys

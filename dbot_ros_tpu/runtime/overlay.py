@@ -137,9 +137,10 @@ def make_overlay_hook(meshes, camera, out_dir: str, every: int = 1,
             save_overlay(
                 os.path.join(out_dir, f"{prefix}_{frame.index:05d}.png"),
                 meshes, camera, poses, frame.depth)
-        except OSError as e:
+        except Exception as e:  # noqa: BLE001
             # observability must never kill the tracking loop (disk
-            # full, dir removed); give up quietly after a few failures
+            # full, dir removed, pose/mesh count mismatch, bad depth
+            # shape — advisor r4); give up quietly after a few failures
             failures[0] += 1
             import sys
             print(f"overlay write failed ({e}); "

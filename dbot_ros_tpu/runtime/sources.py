@@ -283,6 +283,7 @@ class ThreadedSource:
         self._gt = {}
         self._gt_lock = threading.Lock()
         self._count = 0
+        self._max_pushed = -1
         self._last_idx = -1
         self._done = threading.Event()
         self._started = False
@@ -297,8 +298,12 @@ class ThreadedSource:
         if self._ring is None:
             from dbot_ros_tpu.native import FrameRing
             self._ring = FrameRing(depth.shape, self.capacity)
+        # auto-index = max-seen + 1, so producers may mix explicit and
+        # implicit indices without collisions corrupting the
+        # index-continuity skipped-frame accounting (advisor r4)
         if index is None:
-            index = self._count
+            index = self._max_pushed + 1
+        self._max_pushed = max(self._max_pushed, int(index))
         if ground_truth is not None:
             with self._gt_lock:
                 self._gt[int(index)] = np.asarray(ground_truth)

@@ -74,30 +74,61 @@ class GaussianTracker:
         meshes_ = self.meshes
         single = self._single
 
-        def render_fn(poses):
-            # (S, 7) single-object | (S, K, 7) scene → (S, n_sub)
-            if single:
-                return raycast_depth(meshes_[0], poses, rays)
-            depth = None
-            for k, m in enumerate(meshes_):
-                d = raycast_depth(m, poses[..., k, :], rays)
-                depth = d if depth is None else jnp.minimum(depth, d)
-            return depth
+        # Sigma-point render backend (VERDICT r4 item 1): "deferred"
+        # (default) routes the 25 sigma renders through the candidate
+        # one-hot MXU pass (ops/deferred.make_sigma_renderer) — the
+        # exact scan runs once per iteration at the mean only; "exact"
+        # is the full VPU scan-over-triangles for every sigma pose
+        # (the oracle path, and the fallback for unusual meshes).
+        if config.sigma_backend == "deferred":
+            from dbot_ros_tpu.ops.deferred import make_sigma_renderer
+            render_fn = make_sigma_renderer(
+                self.meshes, self.camera.rays, self.camera.height,
+                self.camera.width, pixel_idx=self._pixel_idx,
+                radius=config.sigma_radius,
+                num_candidates=config.sigma_candidates)
+        elif config.sigma_backend == "exact":
+            def render_fn(poses):
+                # (S, 7) single-object | (S, K, 7) scene → (S, n_sub)
+                if single:
+                    return raycast_depth(meshes_[0], poses, rays)
+                depth = None
+                for k, m in enumerate(meshes_):
+                    d = raycast_depth(m, poses[..., k, :], rays)
+                    depth = d if depth is None else jnp.minimum(depth, d)
+                return depth
+        else:
+            raise ValueError(
+                f"unknown sigma_backend {config.sigma_backend!r} "
+                "(expected 'deferred' or 'exact')")
 
         self._dt = 1.0 / config.camera.frame_rate
         self._occ_params = (occlusion.make_occlusion_params(
             obs.p_occluded_visible, obs.p_occluded_occluded,
             obs.initial_occlusion_prob)
             if config.occlusion_memory else None)
-        self._step = jax.jit(functools.partial(
-            rgf.rgf_step, render_fn=render_fn,
-            trans_params=self.trans_params, dt=self._dt,
-            bp=self.beam_params, iterations=config.update_iterations,
-            trust_sigma=config.trust_sigma,
-            lin_floor_pos=config.lin_floor_pos,
-            lin_floor_rot=config.lin_floor_rot,
-            bg_sigma=config.bg_sigma,
-            occ_params=self._occ_params))
+        frame_rate = float(config.camera.frame_rate)
+
+        # dt is a TRACED argument (VERDICT r4 item 3): a drop-heavy live
+        # stream (ThreadedSource drop-oldest) must scale transition noise
+        # AND the occlusion-chain propagation by the real frame interval
+        # (ref D7 dt-aware transitions, R5 timestamp tracking) — distinct
+        # dt values do not retrace.
+        def _step_fn(belief, z, dt):
+            return rgf.rgf_step(
+                belief, z, render_fn=render_fn,
+                trans_params=self.trans_params, dt=dt,
+                bp=self.beam_params, iterations=config.update_iterations,
+                trust_sigma=config.trust_sigma,
+                lin_floor_pos=config.lin_floor_pos,
+                lin_floor_rot=config.lin_floor_rot,
+                lin_cap_pos=config.lin_cap_pos,
+                lin_cap_rot=config.lin_cap_rot,
+                bg_sigma=config.bg_sigma,
+                occ_params=self._occ_params,
+                occ_dt_frames=dt * frame_rate)
+
+        self._step = jax.jit(_step_fn)
         self.belief: Optional[rgf.GaussianBelief] = None
         self._smoothed = None
         self._trial = None
@@ -105,6 +136,13 @@ class GaussianTracker:
     @property
     def centers(self):
         return jnp.stack([m.center for m in self.meshes])
+
+    @property
+    def trial_active(self):
+        """Number of racing init hypotheses, or None outside a trial —
+        surfaced into FrameMetrics so per-frame latency spikes during a
+        multi-hypothesis trial are attributable (advisor r4)."""
+        return len(self._trial["beliefs"]) if self._trial else None
 
     def _to_center(self, poses_model):
         if self._single:
@@ -129,7 +167,7 @@ class GaussianTracker:
 
     def initialize(self, pose_model, first_frame=None, hypotheses=None,
                    hypothesis_logits=None, trial_frames: int = 6,
-                   trial_switch_margin: float = 0.1):
+                   trial_switch_margin: float = 1.0):
         """Set the initial pose(s); optionally race init hypotheses.
 
         ``hypotheses`` (H, 7) | (H, K, 7) model-frame poses (the
@@ -138,24 +176,57 @@ class GaussianTracker:
         resolves with a score-weighted particle mixture — get a short
         MULTI-HYPOTHESIS TRIAL instead: every hypothesis runs its own
         belief for the next ``trial_frames`` frames; the best
-        accumulated inlier rate (mean_beta) wins and the rest are
-        dropped. Fixes the flip re-lock observed in watchdog recovery
-        (EVAL.md occluder/rgf note).
+        ACCUMULATED OBSERVATION LOG-MARGINAL (RgfStepInfo.obs_loglik)
+        wins and the rest are dropped. The marginal — not the inlier
+        rate — is the race metric: a near-symmetric flip can explain
+        ~97 % of predicted-object pixels (beta race ties) yet carries a
+        persistent depth-gradient misfit the per-pixel mixture density
+        integrates over frames (VERDICT r4 item 4; fixes the flip
+        re-lock observed in watchdog recovery).
+        ``trial_switch_margin`` is in nats/frame.
         """
         pose_model = jnp.asarray(pose_model, jnp.float32)
         pose_center = self._to_center(pose_model)
+        hyp = None
+        if hypotheses is not None:
+            hyp = jnp.asarray(hypotheses, jnp.float32)
+            if hyp.ndim == 2:
+                hyp = hyp[:, None]
         if first_frame is not None:
             first_frame = preprocess_depth(
                 jnp.asarray(first_frame, jnp.float32).reshape(-1))
             if self._pixel_idx is not None:
                 first_frame = first_frame[self._pixel_idx]
+        if first_frame is not None and hyp is not None \
+                and hyp.shape[0] >= 2:
+            # MULTI-HYPOTHESIS init only: mask the union of all
+            # candidate poses' predicted object regions out of the
+            # background seed — a pixel any hypothesis may cover says
+            # nothing about the scene behind it. Seeding bg from the
+            # raw frame let a WRONG hypothesis explain its misfit
+            # pixels as "background" at full density — the learned-bg
+            # channel absorbed exactly the evidence the trial's
+            # obs_loglik race needs (measured: the race was decided by
+            # background bookkeeping, not object fit, and a flip won
+            # on one seed). With the union mask, uncovered true-object
+            # pixels score as clutter for the flip and as object for
+            # the correct basin. Single-hypothesis inits keep the raw
+            # frame (the calibrated detector/tracking behavior).
+            cand_poses = [pose_center] + [self._to_center(h)
+                                          for h in hyp]
+            rays = (self.camera.rays if self._pixel_idx is None
+                    else self.camera.rays[self._pixel_idx])
+            covered = jnp.zeros(first_frame.shape, bool)
+            for pc in cand_poses:
+                pk = pc.reshape(self.num_objects, 7)
+                for k, m in enumerate(self.meshes):
+                    d = raycast_depth(m, pk[k], rays)
+                    covered = covered | jnp.isfinite(d)
+            first_frame = jnp.where(covered, jnp.nan, first_frame)
         self.belief = self._make_belief(pose_center, first_frame)
         self._smoothed = pose_center
         self._trial = None
-        if hypotheses is not None:
-            hyp = jnp.asarray(hypotheses, jnp.float32)
-            if hyp.ndim == 2:
-                hyp = hyp[:, None]
+        if hyp is not None:
             if hyp.shape[0] >= 2:
                 order = (list(np.argsort(-np.asarray(hypothesis_logits)))
                          if hypothesis_logits is not None
@@ -183,9 +254,16 @@ class GaussianTracker:
         self._smoothed = belief.mean[..., :7]
         self._trial = None
 
-    def track(self, depth_image):
+    def track(self, depth_image, dt=None):
+        """One frame → (pose(s) in model frame, RgfStepInfo).
+
+        ``dt``: real interval since the previous frame, in seconds
+        (default: the configured 1/frame_rate). Pass the true interval
+        when frames are dropped — transition noise and the occlusion
+        chain propagate by it (ref D7/R5)."""
         if self.belief is None:
             raise RuntimeError("call initialize(pose) before track()")
+        dt = jnp.float32(self._dt if dt is None else dt)
         z = preprocess_depth(jnp.asarray(depth_image,
                                          jnp.float32).reshape(-1))
         if self._pixel_idx is not None:
@@ -194,31 +272,40 @@ class GaussianTracker:
         if trial:
             infos = []
             for i, b in enumerate(trial["beliefs"]):
-                b2, info_i = self._step(b, z)
+                b2, info_i = self._step(b, z, dt)
                 trial["beliefs"][i] = b2
-                trial["scores"][i] += float(info_i.mean_beta)
+                trial["scores"][i] += float(info_i.obs_loglik)
                 infos.append(info_i)
             trial["left"] -= 1
             trial["elapsed"] += 1
-            # the init search's full-likelihood argmax (beliefs[0]) is
-            # the prior choice; a challenger must win the inlier-rate
-            # race DECISIVELY (margin per trial frame) — a slim beta
-            # edge routinely favors a well-fitting symmetric flip over
-            # a still-converging correct basin (measured: the flip won
-            # 0.80-vs-0.73 beta/frame yet the argmax was right)
-            best = int(np.argmax(trial["scores"]))
-            if best != 0 and (trial["scores"][best] - trial["scores"][0]
-                              < trial["margin"] * trial["elapsed"]):
-                best = 0
-            self.belief = trial["beliefs"][best]
-            info = infos[best]
             if trial["left"] <= 0:
+                # commit ONCE, at trial end (advisor r4: recomputing the
+                # winner every frame let the published pose flip between
+                # hypotheses mid-trial, bypassing the output EMA). The
+                # init search's full-likelihood argmax (beliefs[0]) is
+                # the prior choice; a challenger must win the
+                # accumulated-marginal race DECISIVELY (margin nats per
+                # trial frame) — a slim edge routinely favors a
+                # well-fitting symmetric flip over a still-converging
+                # correct basin during its first catch-up frames
+                best = int(np.argmax(trial["scores"]))
+                if best != 0 and (trial["scores"][best]
+                                  - trial["scores"][0]
+                                  < trial["margin"] * trial["elapsed"]):
+                    best = 0
+                self.belief = trial["beliefs"][best]
+                info = infos[best]
                 self._trial = None
-            # follow the winning hypothesis directly (EMA blending
+            else:
+                # provisional output: the prior choice, held steady for
+                # the whole trial
+                self.belief = trial["beliefs"][0]
+                info = infos[0]
+            # follow the held/winning hypothesis directly (EMA blending
             # ACROSS hypotheses would average incompatible orientations)
             self._smoothed = self.belief.mean[..., :7]
         else:
-            self.belief, info = self._step(self.belief, z)
+            self.belief, info = self._step(self.belief, z, dt)
         new_pose = self.belief.mean[..., :7]
         self._smoothed = base.moving_average_pose(
             self._smoothed, new_pose,

@@ -80,12 +80,14 @@ class ParticleTracker:
         self._dt = 1.0 / config.camera.frame_rate
         # Donating the belief lets XLA reuse its buffers (the occlusion
         # map alone is ~P·N·4 bytes) instead of allocating fresh ones
-        # every frame.
+        # every frame. dt is a TRACED argument (VERDICT r4 item 3):
+        # drop-heavy streams pass the real frame interval — transition
+        # noise and the occlusion chain scale with it (ref D7 dt-aware
+        # transitions); distinct dt values do not retrace.
         self._step = jax.jit(functools.partial(
             rbcpf.rbcpf_step,
             loglik_fn=self.sensor,
             trans_params=self.trans_params,
-            dt=self._dt,
             max_kl_divergence=config.max_kl_divergence),
             donate_argnums=(0,))
         self.belief: Optional[rbcpf.ParticleBelief] = None
@@ -141,16 +143,22 @@ class ParticleTracker:
                         in_axes=1)(belief.states)
         self._smoothed = mean[:, :7]
 
-    def track(self, depth_image):
+    def track(self, depth_image, dt=None):
         """One frame → (poses (K, 7) in model frame, StepInfo).
 
         Ref: ObjectTrackerRos::track → ObjectTracker::track (D18/R5).
+
+        ``dt``: real interval since the previous frame, in seconds
+        (default: the configured 1/frame_rate). Pass the true interval
+        when frames are dropped — transition noise and the occlusion
+        chain propagate by it (ref D7 dt-aware transitions).
         """
         if self.belief is None:
             raise RuntimeError("call initialize(poses) before track()")
         z = preprocess_depth(jnp.asarray(depth_image,
                                          jnp.float32).reshape(-1))
-        self.belief, info = self._step(self.belief, z)
+        dt = jnp.float32(self._dt if dt is None else dt)
+        self.belief, info = self._step(self.belief, z, dt=dt)
         new_poses = info.mean_state[:, :7]
         self._smoothed = base.moving_average_pose(
             self._smoothed, new_poses,

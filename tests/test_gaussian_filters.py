@@ -345,3 +345,120 @@ def test_rgf_occlusion_memory_tracks_occluder_pixels():
     b0, _ = rgf.update(b0, z_occ, render_fn, bp, occ_params=op,
                        iterations=2)
     assert b0.occ_prior is None
+
+
+# ------------------------------------------- deferred sigma-render backend
+
+def test_sigma_renderer_matches_exact():
+    """make_sigma_renderer (candidate MXU pass, the GF hot-path backend)
+    must agree with the exact scan on a sigma-like pose batch: hits where
+    both hit carry identical depths (slack=0 ⇒ candidate hits are a
+    subset of exact hits), and candidate-coverage misses are rare at the
+    production dilation."""
+    from dbot_ros_tpu.ops.deferred import make_sigma_renderer
+
+    cam, mesh, bp, tp, _ = rgf_setup()
+    mean_pose = jnp.concatenate([jnp.array([0.0, 0.01, 0.6]),
+                                 se3.so3_exp_quat(
+                                     jnp.array([0.1, 0.2, 0.05]))])
+    # sigma-like spread: mean first (the reference slot), then ±deltas
+    key = jax.random.PRNGKey(3)
+    dpos = 0.008 * jax.random.normal(key, (24, 3))
+    drot = 0.04 * jax.random.normal(jax.random.fold_in(key, 1), (24, 3))
+    poses = jnp.concatenate([
+        mean_pose[None],
+        jnp.concatenate([mean_pose[None, :3] + dpos,
+                         se3.quat_boxplus(
+                             jnp.broadcast_to(mean_pose[None, 3:7],
+                                              (24, 4)), drot)], -1)])
+    render = make_sigma_renderer([mesh], cam.rays, cam.height, cam.width,
+                                 bary_slack=0.0)
+    d_def = np.asarray(render(poses))
+    d_ex = np.asarray(raycast_depth(mesh, poses, cam.rays, 128))
+    both = np.isfinite(d_def) & np.isfinite(d_ex)
+    # where both hit, depths agree except the rare pixel whose nearest
+    # triangle fell outside the candidate set (deferred min is then over
+    # a subset → depth can only be FARTHER, never nearer)
+    diff = d_def[both] - d_ex[both]
+    assert (np.abs(diff) > 1e-4).sum() <= 0.01 * both.sum()
+    assert diff.min() > -1e-4
+    # deferred never invents hits the exact path lacks (slack=0)
+    assert not np.any(np.isfinite(d_def) & ~np.isfinite(d_ex))
+    # coverage: candidate misses are silhouette-fringe only (edge-on
+    # faces that cover no reference pixel center — the documented
+    # slack=0 limitation; auto slack halves them)
+    miss = np.isfinite(d_ex) & ~np.isfinite(d_def)
+    assert miss.sum() < 0.10 * np.isfinite(d_ex).sum(), miss.sum()
+    # the reference row (the mean pose itself) is covered exactly
+    assert not np.any(np.isfinite(d_ex[0]) & ~np.isfinite(d_def[0]))
+
+
+def test_sigma_renderer_scene_and_subset():
+    """Scene form (S, K, 7) with a pixel subset: min-depth composition
+    over objects and subset gathers must match the exact path."""
+    from dbot_ros_tpu.ops.deferred import make_sigma_renderer
+
+    cam, _, bp, tp, _ = rgf_setup()
+    meshes = [l_shape_mesh(), box_mesh(0.06, 0.05, 0.04)]
+    p0 = jnp.concatenate([jnp.array([-0.04, 0.0, 0.6]),
+                          se3.quat_identity()])
+    p1 = jnp.concatenate([jnp.array([0.05, 0.0, 0.65]),
+                          se3.quat_identity()])
+    key = jax.random.PRNGKey(7)
+    d = 0.006 * jax.random.normal(key, (9, 2, 3))
+    poses = jnp.stack([
+        jnp.concatenate([jnp.stack([p0[:3], p1[:3]]) + d[s],
+                         jnp.stack([p0[3:], p1[3:]])], -1)
+        for s in range(9)])
+    poses = poses.at[0, :, :3].set(jnp.stack([p0[:3], p1[:3]]))
+    idx = jnp.arange(0, cam.num_pixels, 3)
+    render = make_sigma_renderer(meshes, cam.rays, cam.height, cam.width,
+                                 pixel_idx=idx, bary_slack=0.0)
+    d_def = np.asarray(render(poses))
+    assert d_def.shape == (9, idx.shape[0])
+    d_ex = jnp.minimum(
+        raycast_depth(meshes[0], poses[:, 0], cam.rays, 128),
+        raycast_depth(meshes[1], poses[:, 1], cam.rays, 128))
+    d_ex = np.asarray(d_ex[:, idx])
+    both = np.isfinite(d_def) & np.isfinite(d_ex)
+    diff = d_def[both] - d_ex[both]
+    assert (np.abs(diff) > 1e-4).sum() <= 0.01 * both.sum()
+    assert diff.min() > -1e-4
+    miss = np.isfinite(d_ex) & ~np.isfinite(d_def)
+    assert miss.sum() < 0.10 * np.isfinite(d_ex).sum()
+
+
+# ------------------------------------------------- multi-scene batching
+
+def test_rgf_batched_step_matches_individual():
+    """make_batched_step (P7 for the GF): a vmapped 2-scene step must
+    reproduce the per-scene steps (same math, scene axis is pure data
+    parallelism)."""
+    cam, mesh, bp, tp, render_fn = rgf_setup()
+    p0 = jnp.concatenate([jnp.array([0.0, 0.01, 0.6]),
+                          se3.quat_identity()])
+    p1 = jnp.concatenate([jnp.array([0.02, -0.01, 0.65]),
+                          se3.so3_exp_quat(jnp.array([0.1, 0.0, 0.0]))])
+    key = jax.random.PRNGKey(5)
+    z0 = synth(mesh, cam, p0, key)
+    z1 = synth(mesh, cam, p1, jax.random.fold_in(key, 1))
+    b0 = rgf.init_belief(jax.random.PRNGKey(0), p0, first_frame=z0)
+    b1 = rgf.init_belief(jax.random.PRNGKey(1), p1, first_frame=z1)
+
+    step1 = jax.jit(lambda b, z: rgf.rgf_step(b, z, render_fn, tp,
+                                              1.0 / 30.0, bp))
+    stepS = jax.jit(rgf.make_batched_step(render_fn, tp, 1.0 / 30.0, bp))
+
+    bb = rgf.stack_beliefs([b0, b1])
+    zz = jnp.stack([z0, z1])
+    for _ in range(2):
+        b0, i0 = step1(b0, z0)
+        b1, i1 = step1(b1, z1)
+        bb, ii = stepS(bb, zz)
+    np.testing.assert_allclose(np.asarray(bb.mean[0]),
+                               np.asarray(b0.mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bb.mean[1]),
+                               np.asarray(b1.mean), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ii.mean_state[0]),
+                               np.asarray(i0.mean_state), atol=1e-4)
+    assert bb.background.shape == (2, cam.num_pixels)

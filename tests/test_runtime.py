@@ -445,3 +445,96 @@ def test_describe_trackers():
                          camera=cam)
     d2 = describe(gt)
     assert "GaussianTracker" in d2 and "trust_sigma" in d2
+
+
+# ------------------------------------------------- variable-dt wiring
+
+def test_node_threads_real_dt_on_dropped_frames():
+    """node.run must pass dt = (1 + skipped)/frame_rate into track()
+    when a push source reports dropped frames (ref D7 dt-aware
+    transitions + R5 timestamp tracking; VERDICT r4 item 3)."""
+    cam = small_camera()
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    tracker = ParticleTracker(small_particle_config(32), meshes=[mesh],
+                              camera=cam)
+    start = np.concatenate([[0.0, 0.0, 0.6], [1, 0, 0, 0]]).astype(
+        np.float32)
+    inner = sources.SyntheticSource(
+        mesh, cam, linear_trajectory(start, [0.0, 0.0, 0.0]),
+        num_frames=4, noise_sigma=0.003, seed=5)
+    frames = list(inner)
+    frames[2].skipped = 3                   # 3 frames dropped before #2
+
+    seen = []
+    orig = tracker.track
+    tracker.track = lambda d, dt=None: (seen.append(dt), orig(d, dt=dt))[1]
+    run = node.run(tracker, frames)
+    assert len(seen) == 4
+    assert seen[0] is None and seen[1] is None and seen[3] is None
+    np.testing.assert_allclose(seen[2], 4.0 / 30.0, rtol=1e-6)
+    # metrics carry the skip count for attribution
+    assert run.metrics.records[2].skipped == 3
+
+
+def test_dt_scaling_beats_pinned_dt_on_blackout_stream():
+    """Drop-heavy closed loop (the ThreadedSource drop-oldest regime,
+    VERDICT r4 item 3): a 15-frame blackout during sustained motion.
+    With the real interval threaded into track(), prediction
+    extrapolates the motion across the gap AND the transition noise
+    inflates to cover it — both filters re-lock immediately. The
+    pinned-dt control extrapolates one nominal frame and keeps an
+    overconfident belief, so it resumes several pixels off with a
+    too-tight cloud/probe and pays a multi-frame catch-up (ref D7:
+    the reference's transitions are dt-aware per frame for exactly
+    this reason).
+
+    Scenario notes (measured while designing this test): REGULAR
+    short gaps are absorbed by either wiring — the filter's velocity
+    estimate simply rescales under pinned dt, so RMSE ties; and a
+    direction REVERSAL hidden inside a blackout is adversarial to any
+    extrapolation (dt-aware overshoots it). Sustained motion through
+    a long gap is where honest dt wins outright. The GF additionally
+    needs its linearization-probe cap here (filters/rgf.py
+    lin_cap_*): before it, the dt-inflated P widened the sigma probe
+    past the object and the update diverged."""
+    cam = small_camera()
+    mesh = l_shape_mesh()
+
+    def build_pf():
+        return ParticleTracker(small_particle_config(200),
+                               meshes=[mesh], camera=cam)
+
+    def build_gf():
+        config = cfg.GaussianTrackerConfig(
+            observation=cfg.ObservationConfig(model_sigma=0.005,
+                                              sigma_factor=0.0,
+                                              tail_weight=0.05),
+            transition=cfg.TransitionConfig(linear_acceleration_sigma=0.4,
+                                            angular_acceleration_sigma=2.0,
+                                            damping=4.0))
+        return GaussianTracker(config, mesh=mesh, camera=cam)
+
+    start = np.concatenate([[-0.02, 0.0, 0.6], [1, 0, 0, 0]]).astype(
+        np.float32)
+    src = sources.SyntheticSource(
+        mesh, cam, linear_trajectory(start, [0.12, 0.0, 0.0]),
+        num_frames=48, noise_sigma=0.003, seed=7)
+    all_frames = list(src)
+    keep_idx = list(range(0, 15)) + list(range(30, 48))
+    kept = [all_frames[i] for i in keep_idx]
+    gaps = [1] + [keep_idx[i + 1] - keep_idx[i]
+                  for i in range(len(keep_idx) - 1)]
+
+    for name, build, factor in (("pf", build_pf, 0.55),
+                                ("gf", build_gf, 0.55)):
+        for fr, g in zip(kept, gaps):
+            fr.skipped = g - 1
+        run_aware = node.run(build(), kept)
+        for fr in kept:
+            fr.skipped = 0
+        run_pinned = node.run(build(), kept)
+        e_aware = run_aware.position_errors()[16:, 0]
+        e_pinned = run_pinned.position_errors()[16:, 0]
+        assert np.mean(e_aware) < factor * np.mean(e_pinned), \
+            (name, np.mean(e_aware), np.mean(e_pinned))
+        assert np.mean(e_aware) < 0.016, (name, e_aware)
