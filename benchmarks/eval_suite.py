@@ -203,7 +203,17 @@ def main():
     for scen in args.scenarios.split(","):
         for est in args.estimators.split(","):
             t0 = time.time()
-            tracker = make_tracker(est, cam, mesh, particles, scen)
+            # two_obj at 512 particles is PARTICLE-STARVED for the joint
+            # 26-dim state (session-27 diagnosis: rotation RMSE 2× the
+            # 2048-particle run and ~2.5× the 10k production
+            # certification, EVAL_TPU.md) — the headline table must not
+            # quote a starvation artifact (VERDICT r4 weak #3), so the
+            # PF two_obj legs run at ≥2048. --quick keeps the smoke size.
+            n_part = particles
+            if scen == "two_obj" and not args.quick \
+                    and est.startswith("pf"):
+                n_part = max(particles, 2048)
+            tracker = make_tracker(est, cam, mesh, n_part, scen)
             src = make_source(scen, cam, mesh, occluder, frames)
             try:
                 run = node.run(tracker, src)
@@ -243,7 +253,10 @@ def main():
         "# EVAL — oracle-rendered stress-protocol accuracy",
         "",
         f"Generated by `benchmarks/eval_suite.py` "
-        f"({frames} frames, {particles} particles, 40×30 depth, "
+        f"({frames} frames, {particles} particles — PF two_obj legs at "
+        "2048: the joint 26-dim state is particle-starved at 512 "
+        "(session-27 diagnosis; production 10k certification in "
+        "EVAL_TPU.md) — 40×30 depth, "
         "independent `raycast_oracle` renderer — no inverse crime; "
         "see the module docstring for the protocols).",
         "",

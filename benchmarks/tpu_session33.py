@@ -1,0 +1,154 @@
+"""TPU experiment 33: closed-loop recovery certified on the chip.
+
+VERDICT r4 item 2 (§5 failure-detection row; R9/R11): every watchdog →
+auto-re-init → re-acquire loop so far ran on the CPU mesh only. This
+session runs the full production recovery path on hardware:
+
+  PF leg: 10k particles, 80x60, fused pallas sensor. The object
+  TELEPORTS 12 cm + 90° at frame 20 (the lost-track stressor the
+  CPU closed-loop tests use); the watchdog must trip on the
+  ESS/loglik signature, the 6-DoF auto-init search must re-acquire
+  on the live frame, and tracking must re-converge. Reported:
+  trip frame, re-acquisition frame (first frame with pos err < 2 cm
+  after the jump), re-init wall latency (tunnel-inflated — the
+  search dispatches many small programs through the axon link; noted
+  as an upper bound), and final RMSE over the recovered tail.
+
+  GF leg: same teleport protocol through the Gaussian tracker
+  (deferred sigma backend, production config). The teleport collapses
+  the inlier rate (mean_beta < beta_min) → trip → re-init with
+  min_hypotheses=2 (the flip-aware trial racing accumulated
+  obs_loglik). The sustained-beta LOCK-IN detector is additionally
+  certified on the CPU fixture seeds (test_watchdog.py) — staging a
+  deterministic lock-in on-chip would need seed probing at TPU
+  compile cost for no extra coverage.
+
+Appends {"recovery_production": {...}} to eval_tpu.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+import jax
+
+if os.environ.get("S33_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from dbot_ros_tpu import config as cfg
+from dbot_ros_tpu.runtime import node
+from dbot_ros_tpu.runtime.sources import OracleSource
+from dbot_ros_tpu.runtime.watchdog import TrackingWatchdog, WatchdogConfig
+from dbot_ros_tpu.trackers.gaussian import GaussianTracker
+from dbot_ros_tpu.trackers.particle import ParticleTracker
+from dbot_ros_tpu.utils import se3
+from dbot_ros_tpu.utils.camera import default_kinect_camera
+from dbot_ros_tpu.utils.mesh import l_shape_mesh
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.environ.get("S33_OUT", os.path.join(ROOT, "eval_tpu.json"))
+P = int(os.environ.get("S33_P", 10_000))
+FRAMES = int(os.environ.get("S33_FRAMES", 55))
+JUMP_AT = 20
+
+print("devices:", jax.devices(), flush=True)
+
+cam = default_kinect_camera(8)
+mesh = l_shape_mesh()
+start = jnp.concatenate([jnp.array([-0.03, 0.0, 0.55]),
+                         se3.quat_identity()])
+jump_q = se3.so3_exp_quat(jnp.array([0.0, 0.0, np.pi / 2]))
+
+
+def traj(t):
+    p = start.at[0].add(0.0012 * t)
+    if t >= JUMP_AT:
+        p = p.at[:3].add(jnp.array([0.09, -0.06, 0.04]))
+        q = se3.quat_multiply(jump_q, start[3:7])
+    else:
+        q = start[3:7]
+    return jnp.concatenate([p[:3], q])[None]
+
+
+obs = cfg.ObservationConfig(model_sigma=0.005, sigma_factor=0.0)
+trans = cfg.TransitionConfig(linear_acceleration_sigma=0.4,
+                             angular_acceleration_sigma=2.5, damping=6.0)
+results = json.load(open(OUT)) if os.path.exists(OUT) else {}
+results.setdefault("recovery_production", {})
+
+REINIT_KW = dict(n_axes=12, n_spins=4, refine_particles=256,
+                 refine_steps=3)
+
+
+def run_leg(name, tracker):
+    wd = TrackingWatchdog(WatchdogConfig())
+    src = OracleSource(mesh, cam, traj, num_frames=FRAMES,
+                      noise_sigma=0.003, seed=3)
+    reinit_wall = []
+
+    import dbot_ros_tpu.runtime.initializer as ini
+    orig = ini.initialize_tracker
+
+    def timed_init(*a, **k):
+        t0 = time.perf_counter()
+        out = orig(*a, **k)
+        reinit_wall.append(time.perf_counter() - t0)
+        return out
+
+    ini.initialize_tracker = timed_init
+    try:
+        t0 = time.time()
+        run = node.run(tracker, src, initial_pose=np.asarray(traj(0)),
+                       watchdog=wd, reinit_kwargs=REINIT_KW)
+    finally:
+        ini.initialize_tracker = orig
+    pe = run.position_errors()[:, 0]
+    re = run.rotation_errors()[:, 0]
+    reacq = next((i for i in range(JUMP_AT + 1, FRAMES)
+                  if pe[i] < 0.02), None)
+    tail = slice(max(JUMP_AT + 10, (reacq or FRAMES - 5)), FRAMES)
+    rec = {
+        "trip_frames": run.reinit_frames,
+        "lost_err_m": round(float(pe[JUMP_AT:JUMP_AT + 3].max()), 4),
+        "reacquired_frame": reacq,
+        "frames_to_reacquire": (None if reacq is None
+                                else reacq - JUMP_AT),
+        "reinit_wall_s": [round(w, 2) for w in reinit_wall],
+        "tail_pos_rmse_m": round(float(np.sqrt((pe[tail] ** 2).mean())),
+                                 5),
+        "tail_rot_rmse_rad": round(float(np.sqrt((re[tail] ** 2).mean())),
+                                   4),
+        "final_pos_err_m": round(float(pe[-1]), 5),
+        "final_rot_err_rad": round(float(re[-1]), 4),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    results["recovery_production"][name] = rec
+    print(name, json.dumps(rec), flush=True)
+    with open(OUT, "w") as fh:
+        json.dump(results, fh, indent=1)
+    assert run.reinit_frames, f"{name}: watchdog never tripped"
+    assert reacq is not None, f"{name}: never re-acquired"
+
+
+# ---- PF leg (flagship production config)
+opts = ({"interpret": True, "nb": 16} if os.environ.get("S33_CPU") else {})
+pconf = cfg.ParticleTrackerConfig(
+    observation=obs, transition=trans, evaluation_count=P,
+    max_kl_divergence=0.8, backend="pallas", seed=1,
+    backend_options=opts)
+run_leg("pf", ParticleTracker(pconf, meshes=[mesh], camera=cam))
+
+# ---- GF leg (deferred sigma backend, production config)
+gconf = cfg.GaussianTrackerConfig(observation=obs, transition=trans,
+                                  update_iterations=6, trust_sigma=1.5)
+run_leg("gf", GaussianTracker(gconf, meshes=[mesh], camera=cam))
+
+print("DONE", flush=True)

@@ -135,7 +135,8 @@ def candidate_ids(ids, height: int, width: int, radius: int = 2,
 
 
 def candidate_ids_dynamic(ids, height: int, width: int, spread_px,
-                          num_candidates: int = 6):
+                          num_candidates: int = 6,
+                          num_triangles: int = 4094):
     """Spread-adaptive candidate ids (N, K): offsets scale with the
     (traced) sigma-cloud pixel footprint.
 
@@ -150,48 +151,63 @@ def candidate_ids_dynamic(ids, height: int, width: int, spread_px,
     traced integer gather offsets, clipped at the image border — so
     coverage follows the belief at identical cost.
     """
+    # Everything below is a handful of CHEAP batched ops by design: the
+    # GF step is op-dispatch-bound on TPU (session 34 trace: ~3.7k
+    # device ops ≈ 17 ms of launch overhead — the compute is trivial),
+    # and this function runs once per object per IPLF iteration. Two
+    # formulations measured WORSE on hardware before this one:
+    #   * per-offset/per-slot Python loops — hundreds of ~37 µs
+    #     kernels (the original 17 ms floor's biggest block);
+    #   * fancy-index gathers + minor-axis take_along_axis — TPU
+    #     lowers each to a ~1 ms serial loop (session 34b/c traces:
+    #     1168 µs monsters, 2 per iteration).
+    # Hence: EDGE-PADDED DYNAMIC SLICES for the shifted id images (no
+    # gather), and a PAYLOAD-PACKED DOUBLE SORT for the per-pixel
+    # first-K-distinct fill (no take_along_axis — XLA's TPU sort is
+    # vectorized and fast; values ride inside the sort keys).
     img = ids.reshape(height, width)
-    yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width),
-                          indexing="ij")
     spread = jnp.maximum(jnp.asarray(spread_px, jnp.float32), 1.0)
+    pad = max(1, int(0.5 * max(height, width)))
+    spread = jnp.minimum(spread, float(pad))
     radii = [jnp.maximum(jnp.round(spread * f), float(i + 1))
              .astype(jnp.int32)
              for i, f in enumerate((1 / 3, 2 / 3, 1.0))]
-
-    def shifted(dy, dx):
-        y = jnp.clip(yy + dy, 0, height - 1)
-        x = jnp.clip(xx + dx, 0, width - 1)
-        return img[y, x]
-
-    cand = [img]
-    # direction-major order so the first distinct ids span directions
-    # before refining radii (the slot fill below keeps the first K
-    # distinct per pixel — radius-major would spend all slots on one
-    # ring)
+    padded = jnp.pad(img, pad, mode="edge")
+    # direction-major offset order (self first) so the first distinct
+    # ids span directions before refining radii; each shift is one
+    # dynamic_slice of the edge-padded image (≡ border-clamped shift)
+    shifts = [img]
     for uy, ux in ((0, 1), (0, -1), (1, 0), (-1, 0),
                    (1, 1), (-1, -1), (1, -1), (-1, 1)):
         for r in radii:
-            s = shifted(uy * r, ux * r)
-            cand.append(jnp.where(s >= 0, s, img))
-    stack = jnp.stack(cand, axis=-1).reshape(ids.shape[0], -1)
+            shifts.append(jax.lax.dynamic_slice(
+                padded, (pad + uy * r, pad + ux * r), (height, width)))
+    stack = jnp.stack(shifts)                              # (C, H, W)
+    stack = jnp.where(stack >= 0, stack, img[None])
+    C = stack.shape[0]                                     # 25 offsets
+    stack = stack.reshape(C, -1).T                         # (N, C)
 
-    # true first-K-distinct fill per pixel: scan ALL offset columns,
-    # keeping each pixel's first num_candidates distinct ids (the old
-    # greedy break only ever examined the first K columns)
-    n = stack.shape[0]
-    rows = jnp.arange(n)
-    taken = jnp.full((n, num_candidates), -2, stack.dtype)
-    count = jnp.zeros((n,), jnp.int32)
-    for j in range(stack.shape[1]):
-        col = stack[:, j]
-        dup = jnp.any(col[:, None] == taken, axis=1)
-        place = (~dup) & (count < num_candidates)
-        slot = jnp.clip(count, 0, num_candidates - 1)
-        cur = taken[rows, slot]
-        taken = taken.at[rows, slot].set(jnp.where(place, col, cur))
-        count = count + place.astype(jnp.int32)
-    # unfilled slots duplicate the pixel's own id (harmless re-test)
-    return jnp.where(taken == -2, stack[:, 0:1], taken)  # (N, K)
+    # Sort 1: key = (value, preference col) — duplicates adjacent, the
+    # earliest-preference occurrence first. Decode elementwise (no
+    # permutation ops needed: value and col both live in the key).
+    col = jnp.arange(C, dtype=jnp.int32)[None, :]
+    key = (stack + 1) * C + col                 # stack ∈ [-1, T) → ≥ 0
+    skey = jnp.sort(key, axis=1)
+    sv = skey // C                              # value + 1, sorted
+    scol = skey % C                             # preference rank
+    firsts = jnp.concatenate(
+        [jnp.ones(sv[:, :1].shape, bool), sv[:, 1:] != sv[:, :-1]],
+        axis=1)
+    # Sort 2: key = (first-occurrence preference rank, value) — the K
+    # smallest entries per pixel are the K preferred distinct ids, and
+    # the value payload comes back out of the key with a modulo.
+    vbits = 1 << max(12, int(num_triangles + 2).bit_length())
+    key2 = jnp.where(firsts, scol, C + 1) * vbits + sv
+    key2 = jnp.sort(key2, axis=1)[:, :num_candidates]
+    cand = key2 % vbits - 1                     # (N, K) candidate ids
+    # unfilled slots (fewer than K distinct ids) duplicate the pixel's
+    # own id (harmless re-test)
+    return jnp.where(key2 >= (C + 1) * vbits, stack[:, 0:1], cand)
 
 
 def one_hot_selectors(cand, num_triangles: int):
@@ -209,7 +225,8 @@ def one_hot_selectors(cand, num_triangles: int):
 # ---------------------------------------------------------------------------
 
 def deferred_depth(mesh: TriangleMesh, poses, rays, selectors,
-                   precision=jax.lax.Precision.HIGH, bary_slack=0.0):
+                   precision=jax.lax.Precision.HIGH, bary_slack=0.0,
+                   barrier=False):
     """Depth for a particle batch via candidate one-hot matmuls.
 
     Args:
@@ -228,23 +245,67 @@ def deferred_depth(mesh: TriangleMesh, poses, rays, selectors,
         [G.reshape(P, T, 9), t_num[..., None]], axis=-1)  # (P, T, 10)
     packed = packed.transpose(1, 0, 2).reshape(T, P * 10)
 
-    def per_candidate(S):
-        # (N, T) @ (T, 10P) → (N, P, 10): the big MXU contraction.
-        sel = jnp.einsum("nt,tm->nm", S, packed, precision=precision)
-        sel = sel.reshape(-1, P, 10)
-        g = sel[..., :9].reshape(sel.shape[0], P, 3, 3)   # (N, P, 3, 3)
-        tn = sel[..., 9]                                  # (N, P)
-        nums = jnp.einsum("nd,npkd->npk", rays, g,
-                          precision=jax.lax.Precision.HIGH)
-        t = raycast._intersect_from_numerators(
-            nums[..., 0], nums[..., 1], nums[..., 2], tn,
-            slack=bary_slack)
-        return t                                          # (N, P)
+    # All K candidate sets in ONE MXU contraction (a per-candidate
+    # Python loop costs K separate matmul+intersect kernel chains; the
+    # GF step that calls this is op-dispatch-bound — session 34 trace):
+    # (K·N, T) @ (T, 10P) → (K, N, P, 10).
+    K, N, _ = selectors.shape
+    S2 = selectors.reshape(K * N, T)
+    if barrier:
+        # Small-batch (sigma-point) callers: stop XLA from fusing the
+        # traced one-hot construction INTO the dot operand — fused, the
+        # contraction falls off the MXU into ~1 ms VPU fusions (the
+        # CLAUDE.md pack-matrix trap, re-measured session 34b). The PF
+        # deferred backend must NOT set this (the barrier there was a
+        # measured 200× regression — XLA's fusion is load-bearing at
+        # P = 10⁴).
+        S2, packed = jax.lax.optimization_barrier((S2, packed))
+    sel = jnp.einsum("nt,tm->nm", S2, packed, precision=precision)
+    sel = sel.reshape(K, N, P, 10)
+    g = sel[..., :9].reshape(K, N, P, 3, 3)
+    tn = sel[..., 9]                                      # (K, N, P)
+    nums = jnp.einsum("nd,knpid->knpi", rays, g,
+                      precision=jax.lax.Precision.HIGH)
+    t = raycast._intersect_from_numerators(
+        nums[..., 0], nums[..., 1], nums[..., 2], tn, slack=bary_slack)
+    return jnp.min(t, axis=0).T                           # (P, N)
 
-    depth = per_candidate(selectors[0])
-    for k in range(1, selectors.shape[0]):
-        depth = jnp.minimum(depth, per_candidate(selectors[k]))
-    return depth.T                                        # (P, N)
+
+def deferred_depth_gather(mesh: TriangleMesh, poses, rays, cand,
+                          bary_slack=0.0):
+    """Candidate-set depth via a DIRECT GATHER of per-candidate
+    constants — the small-batch (sigma-point) twin of
+    :func:`deferred_depth`.
+
+    The one-hot matmul formulation earns its keep at particle counts
+    (one (N,T)@(T,10P) MXU pass amortized over P ≈ 10⁴); at P ≈ 25
+    the traced one-hot selector instead FUSES INTO the dot operand and
+    falls off the MXU (the CLAUDE.md pack-matrix trap — measured as
+    ~19 ms of giant VPU fusions in the GF step, session 34b trace),
+    while the gather is a single HBM-bound op over K·N·10P floats.
+
+    Args:
+      cand: (N, K) candidate triangle ids; -1 = none (routed to the
+        mesh's degenerate padding row → det 0 → miss).
+    Returns: depth (P, N), inf = miss w.r.t. the candidate sets.
+    """
+    G, t_num = raycast.pose_tri_constants(mesh, poses)    # (P,T,3,3),(P,T)
+    P, T = t_num.shape
+    packed = jnp.concatenate(
+        [G.reshape(P, T, 9), t_num[..., None]], axis=-1)  # (P, T, 10)
+    packed = packed.transpose(1, 0, 2)                    # (T, P, 10)
+    safe = jnp.where(cand >= 0, cand, T - 1)              # pad row: miss
+    sel = jnp.take(packed, safe.reshape(-1), axis=0,
+                   mode="clip")                           # (N·K, P, 10)
+    N, K = cand.shape
+    sel = sel.reshape(N, K, P, 10)
+    g = sel[..., :9].reshape(N, K, P, 3, 3)
+    tn = sel[..., 9]                                      # (N, K, P)
+    nums = jnp.einsum("nd,nkpid->nkpi", rays, g,
+                      precision=jax.lax.Precision.HIGH)
+    t = raycast._intersect_from_numerators(
+        nums[..., 0], nums[..., 1], nums[..., 2], tn, slack=bary_slack)
+    return jnp.min(t, axis=1).T                           # (P, N)
 
 
 def make_sigma_renderer(meshes, rays, height: int, width: int,
@@ -315,17 +376,19 @@ def make_sigma_renderer(meshes, rays, height: int, width: int,
             spread_px = jnp.clip(spread_px, float(radius),
                                  0.5 * max(height, width))
             cand = candidate_ids_dynamic(ids, height, width, spread_px,
-                                         num_candidates)
+                                         num_candidates,
+                                         m.padded_triangles)
             if pixel_idx is not None:
                 cand = cand[pixel_idx]
-            sel = one_hot_selectors(cand, m.padded_triangles)
             if bary_slack is not None:
                 slack = jnp.float32(bary_slack)
             else:
                 zbar = slack_mod.cloud_depth(p[..., 2])
                 slack = slack_mod.auto_bary_slack(zbar, pitch, med_edge,
                                                   bary_slack_px)
-            d = deferred_depth(m, p, rays_sub, sel, bary_slack=slack)
+            sel = one_hot_selectors(cand, m.padded_triangles)
+            d = deferred_depth(m, p, rays_sub, sel, bary_slack=slack,
+                               barrier=True)
             depth = d if depth is None else jnp.minimum(depth, d)
         return depth
 
