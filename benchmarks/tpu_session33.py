@@ -69,12 +69,20 @@ jump_q = se3.so3_exp_quat(jnp.array([0.0, 0.0, np.pi / 2]))
 
 
 def traj(t):
+    # the object keeps ROTATING through the sequence (0.03 rad/frame,
+    # the session-30 protocol motion): a STATIC post-jump scene makes a
+    # near-degenerate π-twin of the L genuinely undecidable within a
+    # 6-frame race (measured: per-frame obs_loglik gap ±10 nats, winner
+    # seed-dependent), while ongoing motion separates the basins at
+    # ~38 nats/frame — recovery certification must reflect the moving
+    # scenes the trackers actually serve
+    ang = 0.03 * t
+    q = se3.quat_multiply(se3.so3_exp_quat(jnp.array([0.0, ang, 0.0])),
+                          start[3:7])
     p = start.at[0].add(0.0012 * t)
     if t >= JUMP_AT:
         p = p.at[:3].add(jnp.array([0.09, -0.06, 0.04]))
-        q = se3.quat_multiply(jump_q, start[3:7])
-    else:
-        q = start[3:7]
+        q = se3.quat_multiply(jump_q, q)
     return jnp.concatenate([p[:3], q])[None]
 
 
@@ -112,6 +120,10 @@ def run_leg(name, tracker):
         ini.initialize_tracker = orig
     pe = run.position_errors()[:, 0]
     re = run.rotation_errors()[:, 0]
+    for m, e in zip(run.metrics.records, pe):
+        print(f"  {name} f{m.frame}: pos {float(e):.4f} "
+              f"ll {m.mean_loglik} ess {m.ess} beta {m.mean_beta}",
+              flush=True)
     reacq = next((i for i in range(JUMP_AT + 1, FRAMES)
                   if pe[i] < 0.02), None)
     tail = slice(max(JUMP_AT + 10, (reacq or FRAMES - 5)), FRAMES)

@@ -176,7 +176,7 @@ def update(belief: GaussianBelief, z_obs, render_fn,
            lin_floor_rot: float = 0.04, lin_cap_pos: float = 0.04,
            lin_cap_rot: float = 0.25, bg_sigma: float = 0.02,
            invalid_discount: float = 0.25, occ_params=None,
-           occ_dt_frames: float = 1.0):
+           occ_dt_frames: float = 1.0, learn_world: bool = True):
     """Robust multi-sensor measurement update (see module docstring).
 
     Design notes, each grounded in a failure mode this replaces:
@@ -454,12 +454,25 @@ def update(belief: GaussianBelief, z_obs, render_fn,
     # rate is deliberately slow (EMA 0.2) so a transient occluder is not
     # instantly adopted as scene — persistent scene changes still converge
     # in ~10 frames.
-    learn = (p_hit < 0.05) & jnp.isfinite(z_obs)
-    bg_new = jnp.where(learn, 0.8 * bg + 0.2
-                       * jnp.where(jnp.isfinite(z_obs), z_obs, bg), bg)
+    #
+    # ``learn_world=False`` freezes BOTH the background map and the
+    # occlusion-memory chain: during a multi-hypothesis trial the world
+    # model must stay fixed, or each wrong hypothesis LAUNDERS its
+    # misfit into its own adapted world — measured (teleport-recovery
+    # probe): a π-flip's uncovered true-object pixels were 74 %
+    # absorbed into its background map within the 6 trial frames (EMA
+    # 0.2) and its obs_loglik overtook the correct basin's on the last
+    # two frames of the race.
+    if learn_world:
+        learn = (p_hit < 0.05) & jnp.isfinite(z_obs)
+        bg_new = jnp.where(learn, 0.8 * bg + 0.2
+                           * jnp.where(jnp.isfinite(z_obs), z_obs, bg),
+                           bg)
+    else:
+        bg_new = bg
 
     occ_prior_new = belief.occ_prior
-    if occ_pred is not None:
+    if occ_pred is not None and learn_world:
         # the responsibilities are informative on INVALID pixels too
         # (the invalid-branch point masses: p_invalid_occluded >>
         # p_invalid_visible) — the chain accumulates everywhere, like

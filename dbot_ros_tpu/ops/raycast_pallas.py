@@ -742,7 +742,7 @@ class FusedSensor:
                  active_cap_frac=None, tri_cap_frac=None, levels=None,
                  lineage_gather="take", bary_slack=None,
                  bary_slack_px=0.25, merge="scatter",
-                 occ_dtype=jnp.bfloat16):
+                 occ_dtype=jnp.bfloat16, reference_poses=1):
         self.meshes = ([meshes] if isinstance(meshes, TriangleMesh)
                        else list(meshes))
         self.camera = camera
@@ -771,6 +771,19 @@ class FusedSensor:
         self.frame_rate = frame_rate
         self.num_candidates = num_candidates
         self.radius = radius
+        # Reference poses per object for the candidate pass (default 1 =
+        # the posterior mean). A MULTI-HYPOTHESIS particle cloud (init /
+        # flip-aware recovery races) is bimodal, and candidates built
+        # around its mean cover a ghost pose between the modes — the
+        # race is then decided by candidate-coverage noise, not
+        # likelihood (measured on-chip: a π-flip won a 10k-particle
+        # recovery race the exact XLA sensor resolves correctly,
+        # session 33). With R > 1 the reference pass renders R
+        # index-strided particles per object (systematic hypothesis
+        # seeding allocates contiguous blocks, so strides hit every
+        # mode) and min-combines all id images; the tracker uses an
+        # R=4 sensor for the first frames after a hypothesis init.
+        self.reference_poses = int(reference_poses)
         self.nb = nb
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
@@ -1000,20 +1013,28 @@ class FusedSensor:
         from dbot_ros_tpu.ops import deferred
         from dbot_ros_tpu.utils import se3
 
+        P = states.shape[0]
         z_best = None
         ids_best = None
         offset = 0
         for k, mesh in enumerate(self.meshes):
-            ref_k = se3.states_mean(states[:, k])[:7]
-            z_k, ids_k = deferred.raycast_ids(mesh, ref_k,
-                                              self.camera.rays)
-            ids_k = jnp.where(ids_k >= 0, ids_k + offset, -1)
-            if z_best is None:
-                z_best, ids_best = z_k, ids_k
+            if self.reference_poses <= 1:
+                refs = [se3.states_mean(states[:, k])[:7]]
             else:
-                closer = z_k < z_best
-                z_best = jnp.where(closer, z_k, z_best)
-                ids_best = jnp.where(closer, ids_k, ids_best)
+                # index-strided particles: one per hypothesis block
+                # (see __init__ reference_poses note)
+                refs = [states[(r * P) // self.reference_poses, k, :7]
+                        for r in range(self.reference_poses)]
+            for ref_k in refs:
+                z_k, ids_k = deferred.raycast_ids(mesh, ref_k,
+                                                  self.camera.rays)
+                ids_k = jnp.where(ids_k >= 0, ids_k + offset, -1)
+                if z_best is None:
+                    z_best, ids_best = z_k, ids_k
+                else:
+                    closer = z_k < z_best
+                    z_best = jnp.where(closer, z_k, z_best)
+                    ids_best = jnp.where(closer, ids_k, ids_best)
             offset += mesh.padded_triangles
 
         cand = deferred.candidate_ids(ids_best, self.camera.height,
@@ -1296,7 +1317,8 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
                       bary_slack: float = None,
                       bary_slack_px: float = 0.25,
                       merge: str = "scatter",
-                      occ_dtype=jnp.bfloat16) -> FusedSensor:
+                      occ_dtype=jnp.bfloat16,
+                      reference_poses: int = 1) -> FusedSensor:
     """Fused sensor factory (the flagship large-particle config).
 
     Accepts one mesh or a list of per-object meshes (multi-object scenes
@@ -1312,4 +1334,4 @@ def make_fused_sensor(meshes, camera, bp: BeamParams, op: OcclusionParams,
     return FusedSensor(meshes, camera, bp, op, frame_rate, num_candidates,
                        radius, nb, interpret, active_cap_frac,
                        tri_cap_frac, levels, lineage_gather, bary_slack,
-                       bary_slack_px, merge, occ_dtype)
+                       bary_slack_px, merge, occ_dtype, reference_poses)

@@ -128,8 +128,18 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
     poses = jnp.concatenate([
         jnp.broadcast_to(seed, (quats.shape[0], 3)), quats], axis=-1)
 
+    # Budget-degrade the raycast triangle chunk to the candidate batch
+    # (ref D14, ops/budget.xla_tri_chunk): the refine generations score
+    # beam×particles ≈ 2k poses at once, and the default 512-chunk scan
+    # intermediate is then (2k, N, 512) f32 ≈ 20 GB at the production
+    # 80×60 frame — measured OOM (28.4 GB requested of 15.75 GB HBM)
+    # during an on-chip watchdog re-init, session 33.
+    from dbot_ros_tpu.ops.budget import xla_tri_chunk
+
     def score(poses):
-        depth_pred = raycast_depth(mesh, poses, camera.rays)
+        depth_pred = raycast_depth(
+            mesh, poses, camera.rays,
+            xla_tri_chunk(poses.shape[0], camera.num_pixels))
         if scene_depth is not None:
             depth_pred = jnp.minimum(depth_pred, scene_depth[None, :])
         occ0 = jnp.full((poses.shape[0], camera.num_pixels),
@@ -150,7 +160,9 @@ def find_initial_pose(depth, mesh: TriangleMesh, camera: CameraModel,
         / jnp.maximum(jnp.sum(fg), 1.0)
 
     def align(poses):
-        pred = raycast_depth(mesh, poses, camera.rays)   # (C, N)
+        pred = raycast_depth(
+            mesh, poses, camera.rays,
+            xla_tri_chunk(poses.shape[0], camera.num_pixels))  # (C, N)
         on = jnp.isfinite(pred)
         if scene_depth is not None:
             # only trust pixels where the candidate is actually visible
@@ -400,7 +412,8 @@ def find_initial_poses(depth, meshes, camera: CameraModel,
 
 
 def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
-                       min_hypotheses: int = 1, **kwargs):
+                       min_hypotheses: int = 1,
+                       reuse_background: bool = False, **kwargs):
     """Auto-initialize a ParticleTracker/GaussianTracker from one frame.
 
     For particle trackers, every refined beam pose within
@@ -485,6 +498,9 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
         if "first_frame" in inspect.signature(
                 tracker.initialize).parameters:
             hyp_kwargs["first_frame"] = depth
+        if reuse_background and "reuse_background" in inspect.signature(
+                tracker.initialize).parameters:
+            hyp_kwargs["reuse_background"] = True
         tracker.initialize(poses_model, **hyp_kwargs)
         return poses_model, float(jnp.sum(scores))
 
@@ -519,5 +535,8 @@ def initialize_tracker(tracker, depth, hypothesis_margin: float = 30.0,
     if "first_frame" in inspect.signature(
             tracker.initialize).parameters:
         hyp_kwargs["first_frame"] = depth
+    if reuse_background and "reuse_background" in inspect.signature(
+            tracker.initialize).parameters:
+        hyp_kwargs["reuse_background"] = True
     tracker.initialize(pose_model, **hyp_kwargs)
     return pose_model, score

@@ -191,6 +191,7 @@ def run(tracker, source, initial_pose=None,
                 # wrong basin can win the single-frame search argmax
                 initialize_tracker(tracker, frame.depth,
                                    **{"min_hypotheses": 2,
+                                      "reuse_background": True,
                                       **(reinit_kwargs or {})})
                 reinit_frames.append(frame.index)
             except Exception as e:  # noqa: BLE001 - keep tracking

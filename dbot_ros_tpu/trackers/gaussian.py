@@ -114,7 +114,7 @@ class GaussianTracker:
         # AND the occlusion-chain propagation by the real frame interval
         # (ref D7 dt-aware transitions, R5 timestamp tracking) — distinct
         # dt values do not retrace.
-        def _step_fn(belief, z, dt):
+        def _step_fn(belief, z, dt, learn_world=True):
             return rgf.rgf_step(
                 belief, z, render_fn=render_fn,
                 trans_params=self.trans_params, dt=dt,
@@ -126,9 +126,17 @@ class GaussianTracker:
                 lin_cap_rot=config.lin_cap_rot,
                 bg_sigma=config.bg_sigma,
                 occ_params=self._occ_params,
-                occ_dt_frames=dt * frame_rate)
+                occ_dt_frames=dt * frame_rate,
+                learn_world=learn_world)
 
         self._step = jax.jit(_step_fn)
+        # multi-hypothesis trials run with the WORLD MODEL FROZEN
+        # (background map + occlusion chain): adapting them per
+        # hypothesis launders a wrong basin's misfit into its own
+        # world and neutralizes the obs_loglik race (filters/rgf.py
+        # learn_world note)
+        self._step_frozen = jax.jit(functools.partial(
+            _step_fn, learn_world=False))
         self.belief: Optional[rgf.GaussianBelief] = None
         self._smoothed = None
         self._trial = None
@@ -167,7 +175,8 @@ class GaussianTracker:
 
     def initialize(self, pose_model, first_frame=None, hypotheses=None,
                    hypothesis_logits=None, trial_frames: int = 6,
-                   trial_switch_margin: float = 1.0):
+                   trial_switch_margin: float = 1.0,
+                   reuse_background: bool = False):
         """Set the initial pose(s); optionally race init hypotheses.
 
         ``hypotheses`` (H, 7) | (H, K, 7) model-frame poses (the
@@ -184,6 +193,15 @@ class GaussianTracker:
         integrates over frames (VERDICT r4 item 4; fixes the flip
         re-lock observed in watchdog recovery).
         ``trial_switch_margin`` is in nats/frame.
+
+        ``reuse_background``: carry the incumbent belief's LEARNED
+        background map into the new belief(s) instead of re-seeding
+        from ``first_frame`` — the recovery semantics (node.run's
+        watchdog re-init sets it): the world model persists across a
+        re-initialization; only the object belief resets. Re-seeding
+        from the live frame puts the OBJECT ITSELF into every
+        hypothesis's background and starves/launders the trial race
+        (see the mask note below for the cold-start fallback).
         """
         pose_model = jnp.asarray(pose_model, jnp.float32)
         pose_center = self._to_center(pose_model)
@@ -192,13 +210,16 @@ class GaussianTracker:
             hyp = jnp.asarray(hypotheses, jnp.float32)
             if hyp.ndim == 2:
                 hyp = hyp[:, None]
+        inherited_bg = (self.belief.background
+                        if reuse_background and self.belief is not None
+                        else None)
         if first_frame is not None:
             first_frame = preprocess_depth(
                 jnp.asarray(first_frame, jnp.float32).reshape(-1))
             if self._pixel_idx is not None:
                 first_frame = first_frame[self._pixel_idx]
-        if first_frame is not None and hyp is not None \
-                and hyp.shape[0] >= 2:
+        if first_frame is not None and inherited_bg is None \
+                and hyp is not None and hyp.shape[0] >= 2:
             # MULTI-HYPOTHESIS init only: mask the union of all
             # candidate poses' predicted object regions out of the
             # background seed — a pixel any hypothesis may cover says
@@ -223,7 +244,15 @@ class GaussianTracker:
                     d = raycast_depth(m, pk[k], rays)
                     covered = covered | jnp.isfinite(d)
             first_frame = jnp.where(covered, jnp.nan, first_frame)
-        self.belief = self._make_belief(pose_center, first_frame)
+
+        def build(pc):
+            b = self._make_belief(pc, first_frame)
+            if inherited_bg is not None:
+                import dataclasses as _dc
+                b = _dc.replace(b, background=inherited_bg)
+            return b
+
+        self.belief = build(pose_center)
         self._smoothed = pose_center
         self._trial = None
         if hyp is not None:
@@ -231,8 +260,8 @@ class GaussianTracker:
                 order = (list(np.argsort(-np.asarray(hypothesis_logits)))
                          if hypothesis_logits is not None
                          else list(range(hyp.shape[0])))[:4]
-                beliefs = [self._make_belief(
-                    self._to_center(hyp[i]), first_frame) for i in order]
+                beliefs = [build(self._to_center(hyp[i]))
+                           for i in order]
                 self._trial = {"beliefs": beliefs,
                                "scores": [0.0] * len(beliefs),
                                "left": int(trial_frames),
@@ -272,7 +301,7 @@ class GaussianTracker:
         if trial:
             infos = []
             for i, b in enumerate(trial["beliefs"]):
-                b2, info_i = self._step(b, z, dt)
+                b2, info_i = self._step_frozen(b, z, dt)
                 trial["beliefs"][i] = b2
                 trial["scores"][i] += float(info_i.obs_loglik)
                 infos.append(info_i)

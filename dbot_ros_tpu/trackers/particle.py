@@ -92,6 +92,20 @@ class ParticleTracker:
             donate_argnums=(0,))
         self.belief: Optional[rbcpf.ParticleBelief] = None
         self._smoothed = None  # (K, 7) centered-frame smoothed poses
+        # Multi-hypothesis trial support for the fused pallas sensor:
+        # its candidate pass references the posterior MEAN, which is a
+        # ghost pose for a bimodal hypothesis cloud — the likelihood
+        # race then resolves on candidate-coverage noise (measured
+        # on-chip: a π-flip won a 10k recovery race the exact XLA
+        # sensor resolves correctly, session 33). For the first
+        # ``_trial_frames`` frames after a ≥2-hypothesis init, track()
+        # uses a step whose sensor renders 4 index-strided reference
+        # poses (FusedSensor.reference_poses) so every hypothesis
+        # block gets honest candidates; then it returns to the fast
+        # single-reference step.
+        self._step_multi = None
+        self._trial_left = 0
+        self._trial_frames = 12
 
     @property
     def centers(self):
@@ -114,6 +128,22 @@ class ParticleTracker:
             poses_model = poses_model[None]
         poses_center = base.to_center_frame(poses_model, self.centers)
         key = jax.random.PRNGKey(self.config.seed)
+        self._trial_left = 0
+        if hypotheses is not None and np.asarray(hypotheses).shape[0] >= 2 \
+                and self.config.backend == "pallas":
+            if self._step_multi is None:
+                sensor_multi = make_rb_sensor(
+                    self.meshes, self.camera, self.beam_params,
+                    self.occ_params,
+                    frame_rate=self.config.camera.frame_rate,
+                    backend="pallas", reference_poses=4,
+                    **(self.config.backend_options or {}))
+                self._step_multi = jax.jit(functools.partial(
+                    rbcpf.rbcpf_step, loglik_fn=sensor_multi,
+                    trans_params=self.trans_params,
+                    max_kl_divergence=self.config.max_kl_divergence),
+                    donate_argnums=(0,))
+            self._trial_left = self._trial_frames
         if hypotheses is not None:
             hyp = jnp.asarray(hypotheses, jnp.float32)
             if hyp.ndim == 2:
@@ -158,7 +188,11 @@ class ParticleTracker:
         z = preprocess_depth(jnp.asarray(depth_image,
                                          jnp.float32).reshape(-1))
         dt = jnp.float32(self._dt if dt is None else dt)
-        self.belief, info = self._step(self.belief, z, dt=dt)
+        if self._trial_left > 0:
+            self._trial_left -= 1
+            self.belief, info = self._step_multi(self.belief, z, dt=dt)
+        else:
+            self.belief, info = self._step(self.belief, z, dt=dt)
         new_poses = info.mean_state[:, :7]
         self._smoothed = base.moving_average_pose(
             self._smoothed, new_poses,

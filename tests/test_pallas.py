@@ -550,3 +550,88 @@ def test_pallas_lineage_gather_matches_take():
         np.testing.assert_array_equal(
             np.asarray(s_p.occlusion_as_pn(a, 96)),
             np.asarray(s_t.occlusion_as_pn(b, 96)))
+
+
+def test_multi_reference_candidates_match_on_unimodal_cloud():
+    """reference_poses=4 must reproduce the single-reference sensor's
+    likelihoods when the cloud is unimodal (all strided references land
+    on the same pose ⇒ identical candidate sets)."""
+    import jax
+
+    from dbot_ros_tpu.models import beam, occlusion
+    from dbot_ros_tpu.ops.raycast_pallas import make_fused_sensor
+    from dbot_ros_tpu.utils import se3
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import box_mesh
+    from dbot_ros_tpu.ops.raycast import raycast_depth
+
+    K = np.array([[24.0, 0, 8], [0, 24.0, 8], [0, 0, 1.0]])
+    cam = make_camera(K, 16, 16)
+    mesh = box_mesh(0.08, 0.06, 0.05)
+    bp = beam.make_beam_params(model_sigma=0.005, sigma_factor=0.0)
+    op = occlusion.make_occlusion_params()
+    pose = jnp.concatenate([jnp.array([0.0, 0.0, 0.6]),
+                            se3.quat_identity()])
+    d = raycast_depth(mesh, pose, cam.rays, 128)
+    z = jnp.where(jnp.isfinite(d), d, jnp.nan)
+    P = 32
+    states = jnp.zeros((P, 1, 13), jnp.float32).at[:, 0, :7].set(pose)
+
+    outs = []
+    for R in (1, 4):
+        s = make_fused_sensor(mesh, cam, bp, op, nb=16, interpret=True,
+                              reference_poses=R)
+        occ = s.init_occlusion(P, 0.1)
+        ll, _ = s(states, occ, z, 1.0 / 30.0)
+        outs.append(np.asarray(ll))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+
+def test_multi_reference_trial_resolves_twin_pallas():
+    """Flip-aware PF recovery with the fused sensor (session-33 fix):
+    a bimodal hypothesis cloud's mean is a ghost pose, so the
+    single-reference candidate pass starves BOTH modes and the race is
+    decided by coverage noise. The tracker's multi-reference trial step
+    (reference_poses=4 for the first frames after a ≥2-hypothesis
+    init) must let likelihood resolve the race to the true basin."""
+    import jax
+
+    from dbot_ros_tpu import config as cfg
+    from dbot_ros_tpu.runtime import node, sources
+    from dbot_ros_tpu.trackers.particle import ParticleTracker
+    from dbot_ros_tpu.utils import se3
+    from dbot_ros_tpu.utils.camera import make_camera
+    from dbot_ros_tpu.utils.mesh import l_shape_mesh
+
+    K = np.array([[48.0, 0, 16], [0, 48.0, 16], [0, 0, 1.0]])
+    cam = make_camera(K, 32, 32)
+    mesh = l_shape_mesh()
+    true_pose = np.concatenate([[0.0, 0.0, 0.6], [1.0, 0, 0, 0]])
+    flip = np.asarray(se3.quat_multiply(
+        se3.so3_exp_quat(jnp.array([0.0, np.pi, 0.0])),
+        jnp.asarray(true_pose[3:7], jnp.float32)))
+    twin = np.concatenate([true_pose[:3] + [0.01, 0, 0.005], flip])
+
+    conf = cfg.ParticleTrackerConfig(
+        evaluation_count=256, max_kl_divergence=0.5,
+        observation=cfg.ObservationConfig(model_sigma=0.005,
+                                          sigma_factor=0.0),
+        transition=cfg.TransitionConfig(linear_acceleration_sigma=0.3,
+                                        angular_acceleration_sigma=1.5,
+                                        damping=4.0),
+        backend="pallas", seed=7,
+        backend_options=dict(nb=16, interpret=True,
+                             num_candidates=4, radius=3))
+    tracker = ParticleTracker(conf, meshes=[mesh], camera=cam)
+    tracker.initialize(true_pose,
+                       hypotheses=np.stack([twin, true_pose]),
+                       hypothesis_logits=np.zeros(2, np.float32))
+    assert tracker._trial_left > 0          # multi-ref step engaged
+
+    src = sources.SyntheticSource(
+        mesh, cam, lambda t: jnp.asarray(true_pose, jnp.float32)[None],
+        num_frames=10, noise_sigma=0.002, seed=1)
+    run = node.run(tracker, src)
+    assert tracker._trial_left < tracker._trial_frames
+    err = run.rotation_errors()[-1, 0]
+    assert err < 0.5, f"twin not resolved: final rot err {err}"
