@@ -206,6 +206,7 @@ def reinitialize_particle_tracker(tracker, last_good_pose,
     else:
         occ = jnp.full((p, tracker.camera.num_pixels),
                        jnp.float32(init_prob))
+    tracker._trial = None
     tracker.belief = rbcpf.ParticleBelief(
         states=states,
         log_weights=jnp.zeros((p,), jnp.float32),

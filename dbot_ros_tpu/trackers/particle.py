@@ -92,80 +92,89 @@ class ParticleTracker:
             donate_argnums=(0,))
         self.belief: Optional[rbcpf.ParticleBelief] = None
         self._smoothed = None  # (K, 7) centered-frame smoothed poses
-        # Multi-hypothesis trial support for the fused pallas sensor:
-        # its candidate pass references the posterior MEAN, which is a
-        # ghost pose for a bimodal hypothesis cloud — the likelihood
-        # race then resolves on candidate-coverage noise (measured
-        # on-chip: a π-flip won a 10k recovery race the exact XLA
-        # sensor resolves correctly, session 33). For the first
-        # ``_trial_frames`` frames after a ≥2-hypothesis init, track()
-        # uses a step whose sensor renders 4 index-strided reference
-        # poses (FusedSensor.reference_poses) so every hypothesis
-        # block gets honest candidates; then it returns to the fast
-        # single-reference step.
-        self._step_multi = None
-        self._trial_left = 0
-        self._trial_frames = 12
+        # Multi-hypothesis ISLAND trial (see initialize()).
+        self._trial = None
 
     @property
     def centers(self):
         return jnp.stack([m.center for m in self.meshes])  # (K, 3)
 
+    @property
+    def trial_active(self):
+        """Number of racing island hypotheses, or None outside a trial
+        (surfaced into FrameMetrics — per-frame latency multiplies by
+        it during a trial)."""
+        return len(self._trial["beliefs"]) if self._trial else None
+
     def initialize(self, poses_model, hypotheses=None,
-                   hypothesis_logits=None):
+                   hypothesis_logits=None, trial_frames: int = 8,
+                   trial_switch_margin: float = 2.0):
         """Set the initial object pose(s), in the original mesh frame.
 
         Ref: ObjectTracker::initialize + ParticleTracker::on_initialize.
 
-        ``hypotheses`` (H, K, 7) model-frame poses + ``hypothesis_logits``
-        (H,): seed the particle cloud as a score-weighted mixture over
-        pose hypotheses (the automatic initializer's refined beam) —
-        tracking itself then resolves near-symmetric twins by likelihood.
-        ``poses_model`` remains the reported pose until evidence arrives.
+        ``hypotheses`` (H, 7) | (H, K, 7) model-frame poses (the
+        automatic initializer's refined beams, flip-aware recovery):
+        with H ≥ 2 the hypotheses race as **separate island beliefs**
+        for ``trial_frames`` frames; the best accumulated observation
+        marginal (Σ mean_loglik) wins and the rest are dropped, with
+        the search argmax (slot 0) published and kept unless a
+        challenger wins by ``trial_switch_margin`` nats/frame.
+
+        Why islands and not the score-weighted particle MIXTURE this
+        method used through round 4: the first KL resample annihilates
+        any minority block whose beam arrived a few nats under-refined
+        — a 9-nat search-noise gap gives its particles e⁻⁹ relative
+        weight, so a π-flip that happened to win the single-frame
+        search argmax swallowed the whole cloud in ONE step (measured
+        at 256 and 10k particles, session 33). Islands protect each
+        basin from cross-hypothesis resampling while evidence
+        accumulates — the PF analog of the Gaussian tracker's
+        multi-hypothesis trial, and the island-model machinery of
+        parallel/dist_filter at tracker scale.
         """
         poses_model = jnp.asarray(poses_model, jnp.float32)
         if poses_model.ndim == 1:
             poses_model = poses_model[None]
         poses_center = base.to_center_frame(poses_model, self.centers)
         key = jax.random.PRNGKey(self.config.seed)
-        self._trial_left = 0
-        if hypotheses is not None and np.asarray(hypotheses).shape[0] >= 2 \
-                and self.config.backend == "pallas":
-            if self._step_multi is None:
-                sensor_multi = make_rb_sensor(
-                    self.meshes, self.camera, self.beam_params,
-                    self.occ_params,
-                    frame_rate=self.config.camera.frame_rate,
-                    backend="pallas", reference_poses=4,
-                    **(self.config.backend_options or {}))
-                self._step_multi = jax.jit(functools.partial(
-                    rbcpf.rbcpf_step, loglik_fn=sensor_multi,
-                    trans_params=self.trans_params,
-                    max_kl_divergence=self.config.max_kl_divergence),
-                    donate_argnums=(0,))
-            self._trial_left = self._trial_frames
+        self._trial = None
+        hyp = None
         if hypotheses is not None:
             hyp = jnp.asarray(hypotheses, jnp.float32)
             if hyp.ndim == 2:
                 hyp = hyp[:, None]           # (H, 7) → (H, 1, 7)
-            hyp_center = jax.vmap(
-                lambda p: base.to_center_frame(p, self.centers))(hyp)
-            self.belief = rbcpf.init_belief(
-                key, hyp_center, self.config.evaluation_count,
-                self.camera.num_pixels,
-                float(self.occ_params.initial_occlusion_prob),
-                sensor=self.sensor, hypothesis_logits=hypothesis_logits)
-        else:
-            self.belief = rbcpf.init_belief(
-                key, poses_center, self.config.evaluation_count,
-                self.camera.num_pixels,
+
+        def make_belief(pose_center, k):
+            # k=0 keeps the pre-island RNG stream bit-identical for the
+            # standard single-pose init; islands fold in their slot
+            return rbcpf.init_belief(
+                key if k == 0 else jax.random.fold_in(key, k),
+                pose_center,
+                self.config.evaluation_count, self.camera.num_pixels,
                 float(self.occ_params.initial_occlusion_prob),
                 sensor=self.sensor)
+
+        if hyp is not None and hyp.shape[0] >= 2:
+            order = (list(np.argsort(-np.asarray(hypothesis_logits)))
+                     if hypothesis_logits is not None
+                     else list(range(hyp.shape[0])))[:4]
+            beliefs = [make_belief(
+                base.to_center_frame(hyp[i], self.centers), i + 1)
+                for i in order]
+            self._trial = {"beliefs": beliefs,
+                           "scores": [0.0] * len(beliefs),
+                           "left": int(trial_frames), "elapsed": 0,
+                           "margin": float(trial_switch_margin)}
+            self.belief = beliefs[0]
+        else:
+            self.belief = make_belief(poses_center, 0)
         self._smoothed = poses_center
 
     def restore(self, belief: rbcpf.ParticleBelief):
         """Resume from a checkpointed belief (runtime/checkpoint.py)."""
         from dbot_ros_tpu.ops import resample as rs
+        self._trial = None
         self.belief = belief
         ln, _ = rs.normalize_log_weights(belief.log_weights)
         w = jnp.exp(ln)
@@ -188,9 +197,31 @@ class ParticleTracker:
         z = preprocess_depth(jnp.asarray(depth_image,
                                          jnp.float32).reshape(-1))
         dt = jnp.float32(self._dt if dt is None else dt)
-        if self._trial_left > 0:
-            self._trial_left -= 1
-            self.belief, info = self._step_multi(self.belief, z, dt=dt)
+        trial = self._trial
+        if trial:
+            infos = []
+            for i, b in enumerate(trial["beliefs"]):
+                b2, info_i = self._step(b, z, dt=dt)
+                trial["beliefs"][i] = b2
+                trial["scores"][i] += float(info_i.mean_loglik)
+                infos.append(info_i)
+            trial["left"] -= 1
+            trial["elapsed"] += 1
+            if trial["left"] <= 0:
+                # commit ONCE, at trial end (same hysteresis as the GF
+                # trial): the search argmax holds unless a challenger
+                # wins the accumulated marginal decisively
+                best = int(np.argmax(trial["scores"]))
+                if best != 0 and (trial["scores"][best]
+                                  - trial["scores"][0]
+                                  < trial["margin"] * trial["elapsed"]):
+                    best = 0
+                self.belief = trial["beliefs"][best]
+                info = infos[best]
+                self._trial = None
+            else:
+                self.belief = trial["beliefs"][0]
+                info = infos[0]
         else:
             self.belief, info = self._step(self.belief, z, dt=dt)
         new_poses = info.mean_state[:, :7]

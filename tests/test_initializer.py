@@ -153,13 +153,14 @@ def test_multi_hypothesis_init_resolves_twin():
                                         damping=4.0),
         seed=7)
     tracker = ParticleTracker(conf, meshes=[mesh], camera=cam)
+    # the WRONG twin first (slot 0 = the published prior choice): the
+    # island race must still commit to the true basin on accumulated
+    # marginal (round 5: islands replaced the score-weighted mixture,
+    # whose first KL resample annihilated under-refined blocks)
     tracker.initialize(true_pose,
-                       hypotheses=np.stack([true_pose, twin]),
+                       hypotheses=np.stack([twin, true_pose]),
                        hypothesis_logits=np.zeros(2, np.float32))
-    # both hypotheses actually populated
-    q0 = np.asarray(tracker.belief.states[:, 0, 3:7])
-    ang = 2 * np.arccos(np.clip(np.abs(q0 @ true_pose[3:7]), 0, 1))
-    assert (ang < 0.1).sum() > 64 and (ang > 2.0).sum() > 64
+    assert tracker.trial_active == 2
 
     src = sources.SyntheticSource(
         mesh, cam, lambda t: jnp.asarray(true_pose, jnp.float32)[None],

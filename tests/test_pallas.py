@@ -587,13 +587,15 @@ def test_multi_reference_candidates_match_on_unimodal_cloud():
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
 
 
-def test_multi_reference_trial_resolves_twin_pallas():
-    """Flip-aware PF recovery with the fused sensor (session-33 fix):
-    a bimodal hypothesis cloud's mean is a ghost pose, so the
-    single-reference candidate pass starves BOTH modes and the race is
-    decided by coverage noise. The tracker's multi-reference trial step
-    (reference_poses=4 for the first frames after a ≥2-hypothesis
-    init) must let likelihood resolve the race to the true basin."""
+def test_island_trial_resolves_twin_pallas():
+    """Flip-aware PF recovery (session-33 fix): with a ≥2-hypothesis
+    init the tracker races separate ISLAND beliefs and commits once on
+    the accumulated observation marginal — the round-4 score-weighted
+    mixture lost the race structurally (the first KL resample
+    annihilates a block whose beam arrived a few nats under-refined,
+    and the fused sensor's mean-referenced candidate pass is a ghost
+    pose for a bimodal cloud). The true basin must win even when the
+    wrong twin is slot 0."""
     import jax
 
     from dbot_ros_tpu import config as cfg
@@ -626,12 +628,12 @@ def test_multi_reference_trial_resolves_twin_pallas():
     tracker.initialize(true_pose,
                        hypotheses=np.stack([twin, true_pose]),
                        hypothesis_logits=np.zeros(2, np.float32))
-    assert tracker._trial_left > 0          # multi-ref step engaged
+    assert tracker.trial_active == 2        # island race engaged
 
     src = sources.SyntheticSource(
         mesh, cam, lambda t: jnp.asarray(true_pose, jnp.float32)[None],
         num_frames=10, noise_sigma=0.002, seed=1)
     run = node.run(tracker, src)
-    assert tracker._trial_left < tracker._trial_frames
+    assert tracker.trial_active is None     # trial committed
     err = run.rotation_errors()[-1, 0]
     assert err < 0.5, f"twin not resolved: final rot err {err}"
