@@ -4,6 +4,14 @@ VERDICT r4 item 2 (§5 failure-detection row; R9/R11): every watchdog →
 auto-re-init → re-acquire loop so far ran on the CPU mesh only. This
 session runs the full production recovery path on hardware:
 
+  Object: utils/mesh.tagged_l_mesh — the plain two-box L carries a
+  ~9-nat near-symmetry at this view (a π rotation about its in-plane
+  diagonal swaps the legs; measured via beam-model scoring of oracle
+  frames), which no likelihood race can decide and which aliases into
+  a ~6 cm MODEL-frame position "error" through the center offset. The
+  tag box makes every π-twin cost ~900 nats, so recovery correctness
+  is actually certifiable.
+
   PF leg: 10k particles, 80x60, fused pallas sensor. The object
   TELEPORTS 12 cm + 90° at frame 20 (the lost-track stressor the
   CPU closed-loop tests use); the watchdog must trip on the
@@ -51,7 +59,7 @@ from dbot_ros_tpu.trackers.gaussian import GaussianTracker
 from dbot_ros_tpu.trackers.particle import ParticleTracker
 from dbot_ros_tpu.utils import se3
 from dbot_ros_tpu.utils.camera import default_kinect_camera
-from dbot_ros_tpu.utils.mesh import l_shape_mesh
+from dbot_ros_tpu.utils.mesh import tagged_l_mesh
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.environ.get("S33_OUT", os.path.join(ROOT, "eval_tpu.json"))
@@ -62,7 +70,7 @@ JUMP_AT = 20
 print("devices:", jax.devices(), flush=True)
 
 cam = default_kinect_camera(8)
-mesh = l_shape_mesh()
+mesh = tagged_l_mesh()
 start = jnp.concatenate([jnp.array([-0.03, 0.0, 0.55]),
                          se3.quat_identity()])
 jump_q = se3.so3_exp_quat(jnp.array([0.0, 0.0, np.pi / 2]))
@@ -112,10 +120,31 @@ def run_leg(name, tracker):
         return out
 
     ini.initialize_tracker = timed_init
+
+    def on_frame(frame, poses, info):
+        tr = getattr(tracker, "_trial", None)
+        if tr:
+            gt = np.asarray(frame.ground_truth).reshape(-1)[:7]
+            errs = []
+            for b in tr["beliefs"]:
+                if hasattr(b, "log_weights"):
+                    from dbot_ros_tpu.ops import resample as rs
+                    ln, _ = rs.normalize_log_weights(b.log_weights)
+                    m = se3.states_mean(b.states[:, 0], jnp.exp(ln))
+                else:                      # GaussianBelief
+                    m = b.mean.reshape(-1)[:13]
+                errs.append(round(float(jnp.linalg.norm(
+                    se3.quat_boxminus(m[3:7],
+                                      jnp.asarray(gt[3:7])))), 2))
+            print(f"  {name} trial f{frame.index}: scores "
+                  f"{[round(s, 1) for s in tr['scores']]} rot {errs}",
+                  flush=True)
+
     try:
         t0 = time.time()
         run = node.run(tracker, src, initial_pose=np.asarray(traj(0)),
-                       watchdog=wd, reinit_kwargs=REINIT_KW)
+                       watchdog=wd, reinit_kwargs=REINIT_KW,
+                       on_frame=on_frame)
     finally:
         ini.initialize_tracker = orig
     pe = run.position_errors()[:, 0]
@@ -150,17 +179,23 @@ def run_leg(name, tracker):
     assert reacq is not None, f"{name}: never re-acquired"
 
 
+LEGS = os.environ.get("S33_LEGS", "pf,gf").split(",")
+
 # ---- PF leg (flagship production config)
-opts = ({"interpret": True, "nb": 16} if os.environ.get("S33_CPU") else {})
-pconf = cfg.ParticleTrackerConfig(
-    observation=obs, transition=trans, evaluation_count=P,
-    max_kl_divergence=0.8, backend="pallas", seed=1,
-    backend_options=opts)
-run_leg("pf", ParticleTracker(pconf, meshes=[mesh], camera=cam))
+if "pf" in LEGS:
+    opts = ({"interpret": True, "nb": 16}
+            if os.environ.get("S33_CPU") else {})
+    pconf = cfg.ParticleTrackerConfig(
+        observation=obs, transition=trans, evaluation_count=P,
+        max_kl_divergence=0.8, backend="pallas", seed=1,
+        backend_options=opts)
+    run_leg("pf", ParticleTracker(pconf, meshes=[mesh], camera=cam))
 
 # ---- GF leg (deferred sigma backend, production config)
-gconf = cfg.GaussianTrackerConfig(observation=obs, transition=trans,
-                                  update_iterations=6, trust_sigma=1.5)
-run_leg("gf", GaussianTracker(gconf, meshes=[mesh], camera=cam))
+if "gf" in LEGS:
+    gconf = cfg.GaussianTrackerConfig(observation=obs, transition=trans,
+                                      update_iterations=6,
+                                      trust_sigma=1.5)
+    run_leg("gf", GaussianTracker(gconf, meshes=[mesh], camera=cam))
 
 print("DONE", flush=True)

@@ -95,6 +95,31 @@ class ParticleTracker:
         # Multi-hypothesis ISLAND trial (see initialize()).
         self._trial = None
 
+        # Chain-free pose score for the island race: each island's
+        # posterior-mean state re-evaluated against the frame with the
+        # occlusion chain RESET to its initial prior. Racing on the
+        # filter's own mean_loglik launders: the D10 chain is the PF's
+        # world model, and within ~4 frames it marks a wrong basin's
+        # persistent misfit pixels as occluded — measured on-chip
+        # (session 33): a π-flip's per-frame marginal overtook the
+        # correct basin's exactly as the chain saturated. Same failure
+        # family as the GF's background laundering (learn_world).
+        def _pose_score(mean_state, z_obs):
+            from dbot_ros_tpu.models.image_loglik import image_loglik
+            from dbot_ros_tpu.models.sensor import render_scene
+            from dbot_ros_tpu.ops.budget import xla_tri_chunk
+
+            depth = render_scene(
+                self.meshes, mean_state[None, :, :7], self.camera.rays,
+                xla_tri_chunk(1, self.camera.num_pixels))
+            occ0 = jnp.full((1, self.camera.num_pixels), jnp.float32(
+                self.occ_params.initial_occlusion_prob))
+            ll, _ = image_loglik(depth, z_obs, occ0, self.beam_params,
+                                 self.occ_params, 1.0)
+            return ll[0]
+
+        self._pose_score = jax.jit(_pose_score)
+
     @property
     def centers(self):
         return jnp.stack([m.center for m in self.meshes])  # (K, 3)
@@ -116,10 +141,12 @@ class ParticleTracker:
         ``hypotheses`` (H, 7) | (H, K, 7) model-frame poses (the
         automatic initializer's refined beams, flip-aware recovery):
         with H ≥ 2 the hypotheses race as **separate island beliefs**
-        for ``trial_frames`` frames; the best accumulated observation
-        marginal (Σ mean_loglik) wins and the rest are dropped, with
-        the search argmax (slot 0) published and kept unless a
-        challenger wins by ``trial_switch_margin`` nats/frame.
+        for ``trial_frames`` frames; the best accumulated CHAIN-FREE
+        pose score (each island's mean state re-scored against the
+        frame at the prior occlusion level — see ``_pose_score``) wins
+        and the rest are dropped, with the search argmax (slot 0)
+        published and kept unless a challenger wins by
+        ``trial_switch_margin`` nats/frame.
 
         Why islands and not the score-weighted particle MIXTURE this
         method used through round 4: the first KL resample annihilates
@@ -203,7 +230,9 @@ class ParticleTracker:
             for i, b in enumerate(trial["beliefs"]):
                 b2, info_i = self._step(b, z, dt=dt)
                 trial["beliefs"][i] = b2
-                trial["scores"][i] += float(info_i.mean_loglik)
+                # chain-free pose score (see __init__._pose_score)
+                trial["scores"][i] += float(
+                    self._pose_score(info_i.mean_state, z))
                 infos.append(info_i)
             trial["left"] -= 1
             trial["elapsed"] += 1

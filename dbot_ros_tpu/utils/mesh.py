@@ -221,6 +221,33 @@ def l_shape_mesh(center: bool = True, pad_to: int = 128,
     return make_mesh(v, f, center=center, pad_to=pad_to)
 
 
+def tagged_l_mesh(center: bool = True, pad_to: int = 128,
+                  scale: float = 1.0) -> TriangleMesh:
+    """L-shape with a corner tag (three boxes): breaks the plain L's
+    REMAINING near-symmetry. The two-box L is asymmetric on paper, but
+    a π rotation about its in-plane diagonal swaps the 12 cm and 8 cm
+    legs into a silhouette only ~9 nats distinguishable from the true
+    pose at 0.55 m / 80×60 (measured, session 33) — identical to the
+    box's symmetry-quotient situation but APPROXIMATE, so neither the
+    exact quotient metric nor a likelihood race can treat it cleanly.
+    The tag box on the long leg's top face makes every π-twin cost
+    hundreds of nats; use this mesh for recovery/flip certification
+    scenarios."""
+    s = scale
+    m1 = box_mesh(0.12 * s, 0.04 * s, 0.06 * s, center=False)
+    m2 = box_mesh(0.04 * s, 0.08 * s, 0.06 * s, center=False)
+    m3 = box_mesh(0.035 * s, 0.035 * s, 0.05 * s, center=False)
+    v1 = np.asarray(m1.vertices[: m1.num_vertices], np.float64)
+    f1 = np.asarray(m1.faces[: m1.num_triangles], np.int64)
+    v2 = np.asarray(m2.vertices[: m2.num_vertices], np.float64) + np.array(
+        [-0.04, 0.06, 0.0]) * s
+    v3 = np.asarray(m3.vertices[: m3.num_vertices], np.float64) + np.array(
+        [0.085, 0.005, 0.055]) * s
+    v = np.concatenate([v1, v2, v3])
+    f = np.concatenate([f1, f1 + len(v1), f1 + len(v1) + len(v2)])
+    return make_mesh(v, f, center=center, pad_to=pad_to)
+
+
 def icosphere_mesh(radius=0.05, subdivisions=2, center: bool = True,
                    pad_to: int = 128) -> TriangleMesh:
     """Icosphere (20 · 4^s triangles) for curvature-bearing test scenes."""
