@@ -290,7 +290,13 @@ def main():
         "- **two_obj** rotation is reported modulo the box's 4-element "
         "symmetry group (`rot_rmse_naive` in eval_results.json keeps "
         "the unquotiented number): the box's π-flips are genuinely "
-        "unidentifiable, not tracking error. Diagnosis (EVAL_TPU.md session 27): the quotient equals the naive metric — the error is NOT flip aliasing; at this suite's 512-particle budget it is joint-lineage particle starvation (on-chip sweep: box rot 0.264 → 0.121 at 2048, plateau ≈0.12 = the crossing-phase silhouette-contrast limit; pooled PF rotation at 8192 = 0.093 rad).",
+        "unidentifiable, not tracking error. The PF legs run at 2048 "
+        "particles (round 5): 512 was joint-lineage particle "
+        "starvation (on-chip sweep, EVAL_TPU.md session 27: box rot "
+        "0.264 → 0.121 at 2048); the remaining ≈0.12-0.15 sits at the "
+        "crossing-phase silhouette-contrast plateau (quotient equals "
+        "the naive metric — not flip aliasing; pooled PF rotation at "
+        "8192 = 0.093 rad, production 10k certification 0.089/0.130).",
         "- **sensor_u16** runs the full reference camera transport: "
         "native-resolution (4×) oracle render, Kinect-class edge "
         "artifacts (15 % shadow/flying pixels at discontinuities), u16 "
