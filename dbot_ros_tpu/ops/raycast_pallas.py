@@ -581,6 +581,62 @@ def scatter_pixel_rows(q, vals, sel, pr: int, interpret: bool = False):
     return out.reshape(q.shape)
 
 
+def gather_pixel_rows(q, sel, pr: int, interpret: bool = False):
+    """Pixel-row GATHER: ``out[j·pr:(j+1)·pr] = q[sel[j]·pr:(sel[j]+1)·pr]``
+    — the read-side mirror of :func:`scatter_pixel_rows`.
+
+    The compaction pre-pass previously pulled the selected pixels' occ
+    tiles with a flat ``jnp.take`` over per-row indices; XLA lowers
+    that row gather to a ~27 GB/s loop (331 µs/step for a 9 MB slab at
+    the 10k north star — session-35 trace, ``fusion.5``). Here each
+    selected pixel's (pr, 128) tile moves as one HBM→HBM async DMA
+    with a scalar-prefetched dynamic *input* offset, pipelined on the
+    same 8-deep semaphore ring as the scatter. Duplicate/padded ``sel``
+    entries are harmless for a gather (unlike the scatter, which needs
+    distinct outputs). Same 3-D-view constraint: packed dtypes forbid
+    dynamic sublane offsets, so the copy slices the untiled pixel axis.
+    """
+    pcap = sel.shape[0]
+    nsem = 8
+    n_pix = q.shape[0] // pr
+    q3 = q.reshape(n_pix, pr, 128)
+
+    def kern(sel_ref, q_ref, out_ref, sems):
+        def cp(j):
+            return pltpu.make_async_copy(
+                q_ref.at[sel_ref[j]],
+                out_ref.at[j],
+                sems.at[j % nsem])
+
+        def body(j, _):
+            @pl.when(j >= nsem)
+            def _():
+                cp(j - nsem).wait()
+            cp(j).start()
+            return 0
+
+        jax.lax.fori_loop(0, pcap, body, 0)
+
+        def tail(j, _):
+            cp(j).wait()
+            return 0
+
+        jax.lax.fori_loop(max(0, pcap - nsem), pcap, tail, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
+    )
+    out = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pcap, pr, 128), q.dtype),
+        interpret=interpret)(sel.astype(jnp.int32), q3)
+    return out.reshape(pcap * pr, 128)
+
+
 def fused_loglik_packed(gt, occ_k, z_obs, cand, rays, params_vec,
                         num_particles: int, nb: int = 64,
                         interpret: bool = False, ages=None):
@@ -1244,13 +1300,16 @@ class FusedSensor:
                           + (n_pad - N) * log_pib
                           - (n_pad_c - pcap) * log_pib)
                 if lazy:
-                    # Row-gather ONLY the selected pixels' q rows (the
+                    # DMA-gather ONLY the selected pixels' q tiles (the
                     # kernel layout keeps a pixel's particle tile in pr
                     # consecutive rows); unselected pixels just age.
-                    rows = (sel[:, None] * pr
-                            + jnp.arange(pr, dtype=jnp.int32)[None, :]
-                            ).reshape(-1)
-                    occ_sel = jnp.take(q_k, rows, axis=0, mode="clip")
+                    # gather_pixel_rows replaces the flat jnp.take row
+                    # gather XLA ran at ~27 GB/s (331 µs/step at the
+                    # 10k north star — session-35 trace).
+                    n_pix_q = q_k.shape[0] // pr
+                    occ_sel = gather_pixel_rows(
+                        q_k, jnp.clip(sel, 0, n_pix_q - 1), pr,
+                        interpret=self.interpret)
                     ll, occ_post = fused_loglik_packed(
                         gt, occ_sel, z_obs[sel],
                         jnp.take(cand_use, sel, axis=0),
