@@ -33,6 +33,20 @@ class WatchdogConfig:
     # for `patience` frames (the old one-shot 10× absorbed real losses).
     loglik_mad_factor: float = 3.0      # ... or this × the tracked MAD
     beta_min: float = 0.05              # GF inlier-rate floor
+    # Catastrophic GF loss debounce: a teleported / fully-lost Gaussian
+    # filter's inlier rate collapses to near the clutter floor but
+    # OSCILLATES around it (session 33j: beta 0.032-0.083 for 15 frames
+    # after an on-chip teleport — every poke above 0.05 reset the
+    # consecutive-frame beta_min streak, and detection fell through to
+    # the 15-frame lock-in tier, a 14-frame latency). Healthy tracking
+    # sits at 0.83-0.98 and even wrong-basin lock-in at 0.40-0.52, so
+    # 0.15 splits the regimes with wide margin; the m-of-n window trips
+    # on a sustained collapse without resetting on single noise pokes,
+    # while a <= (window - count + 1)-frame full-occlusion flicker
+    # cannot fire it. 0 disables.
+    beta_catastrophic: float = 0.15
+    beta_cat_count: int = 4             # trip when >= count of the last
+    beta_cat_window: int = 5            # window frames are below threshold
     # GF lock-in detector: a wrong-basin Gaussian filter keeps a
     # PERSISTENTLY depressed inlier rate (measured beta 0.40-0.52 for
     # 30+ frames after an occluder-crossing rotation lock-in vs >0.7
@@ -74,6 +88,7 @@ class TrackingWatchdog:
         self._loglik_ema: Optional[float] = None
         self._loglik_mad = 0.0
         self._beta_low_streak = 0
+        self._beta_window: list = []
         self._beta_trips = 0
         self._bad_streak = 0
         self._frames = 0
@@ -84,6 +99,7 @@ class TrackingWatchdog:
         self._loglik_ema = None
         self._loglik_mad = 0.0
         self._beta_low_streak = 0
+        self._beta_window = []
         self._bad_streak = 0
         self._frames = 0
 
@@ -140,6 +156,18 @@ class TrackingWatchdog:
         beta = getattr(info, "mean_beta", None)
         if beta is not None and float(beta) < c.beta_min:
             bad = True
+
+        # Catastrophic-collapse debounce (see WatchdogConfig): m-of-n
+        # window, immune to single pokes above the threshold that reset
+        # the consecutive streaks (session-33j teleport signature).
+        if beta is not None and c.beta_catastrophic > 0:
+            self._beta_window.append(float(beta) < c.beta_catastrophic)
+            if len(self._beta_window) > c.beta_cat_window:
+                self._beta_window.pop(0)
+            if sum(self._beta_window) >= c.beta_cat_count:
+                self.reset()
+                self.trip_count += 1
+                return True
 
         # GF lock-in: inlier rate depressed for far longer than any
         # transient occlusion (separate long-patience streak).

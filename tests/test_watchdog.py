@@ -50,6 +50,54 @@ def test_watchdog_beta_floor():
     assert wd.update(FakeInfo(mean_beta=0.01))
 
 
+# Session-33j on-chip GF teleport trace (benchmarks/session33j.log
+# f17-f34): beta collapses at the teleport (4th value) but OSCILLATES
+# around the 0.05 beta_min floor, so the consecutive-frame streak kept
+# resetting and detection fell through to the 15-frame lock-in tier.
+_S33J_TELEPORT_BETA = [
+    0.969, 0.864, 0.938,                      # healthy tail
+    0.0326, 0.0833, 0.0571, 0.0526, 0.0570,   # teleport at index 3
+    0.0598, 0.0594, 0.0637, 0.0461, 0.0560,
+    0.0451, 0.0322, 0.0594, 0.0340, 0.0356,
+]
+
+
+def test_watchdog_beta_catastrophic_debounce_session33j():
+    """The m-of-n catastrophic detector trips within ~4 frames of the
+    session-33j teleport instead of the 14-frame lock-in fallback."""
+    wd = TrackingWatchdog(WatchdogConfig(warmup=0))
+    tripped_at = None
+    for i, b in enumerate(_S33J_TELEPORT_BETA):
+        if wd.update(FakeInfo(mean_beta=b)):
+            tripped_at = i
+            break
+    assert tripped_at is not None
+    # teleport lands at index 3; count=4-of-5 → earliest trip index 6
+    assert tripped_at <= 7, f"detection latency {tripped_at - 3} frames"
+
+
+def test_watchdog_beta_catastrophic_ignores_brief_full_occlusion():
+    """A <= 3-frame full-cover flicker (beta ~ 0) must not fire the
+    4-of-5 debounce; healthy recovery clears the window."""
+    wd = TrackingWatchdog(WatchdogConfig(warmup=0, patience=4))
+    seq = [0.9, 0.85, 0.02, 0.01, 0.03, 0.8, 0.9, 0.02, 0.05, 0.88]
+    for b in seq:
+        assert not wd.update(FakeInfo(mean_beta=b))
+
+
+def test_watchdog_beta_catastrophic_not_fired_by_lockin_levels():
+    """Wrong-basin lock-in beta (0.40-0.52) stays in the slow
+    beta_locked tier, never the catastrophic one."""
+    wd = TrackingWatchdog(WatchdogConfig(
+        warmup=0, beta_locked_patience=15))
+    trip_frame = None
+    for i in range(20):
+        if wd.update(FakeInfo(mean_beta=0.45 + 0.05 * (i % 2))):
+            trip_frame = i
+            break
+    assert trip_frame is not None and trip_frame >= 14
+
+
 def test_reinit_recovers_lost_track():
     """End-to-end: teleport the object mid-sequence (tracker loses it),
     watchdog-style reinit at the new pose re-acquires."""
