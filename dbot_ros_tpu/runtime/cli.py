@@ -113,6 +113,19 @@ def _chain_hooks(*hooks):
     return chained
 
 
+def _parse_init_budget(args):
+    """``--init-budget AXES,SPINS,PARTICLES,STEPS`` → search kwargs."""
+    spec = getattr(args, "init_budget", None)
+    if not spec:
+        return {}
+    parts = spec.split(",")
+    if len(parts) != 4:
+        raise SystemExit("--init-budget needs AXES,SPINS,PARTICLES,STEPS")
+    ax, sp, rp, rs = (int(x) for x in parts)
+    return dict(n_axes=ax, n_spins=sp, refine_particles=rp,
+                refine_steps=rs)
+
+
 def _make_watchdog(args):
     if not getattr(args, "watchdog", False):
         return None
@@ -135,10 +148,11 @@ def cmd_track(args):
         if initial.size % 7:
             raise SystemExit("--initial-pose needs K*7 floats (t, quat wxyz)")
         initial = initial.reshape(-1, 7)
-    elif args.auto_init:
+    init_kw = _parse_init_budget(args)
+    if args.auto_init and not args.initial_pose:
         from dbot_ros_tpu.runtime.initializer import initialize_tracker
         first = next(iter(source))
-        initialize_tracker(tracker, first.depth)
+        initialize_tracker(tracker, first.depth, **init_kw)
 
     mesh_names = conf.object.meshes or [
         f"object_{k}" for k in range(len(tracker.meshes))]
@@ -159,6 +173,7 @@ def cmd_track(args):
                        checkpoint_path=args.checkpoint,
                        checkpoint_every=args.checkpoint_every,
                        watchdog=_make_watchdog(args),
+                       reinit_kwargs=init_kw or None,
                        service=service)
     finally:
         publisher.close()
@@ -252,6 +267,12 @@ def main(argv=None):
     p_track.add_argument("--watchdog", action="store_true",
                          help="tracking-loss auto-recovery (re-init via "
                               "the 6-DoF search when divergence trips)")
+    p_track.add_argument("--init-budget", default=None,
+                         metavar="AXES,SPINS,PARTICLES,STEPS",
+                         help="6-DoF search budget for --auto-init and "
+                              "watchdog re-inits (default 12,4,256,4; "
+                              "lower = faster init/recovery, coarser "
+                              "basin coverage)")
     p_track.add_argument("--checkpoint", default=None)
     p_track.add_argument("--checkpoint-every", type=int, default=0)
     p_track.add_argument("--service", default=None, metavar="SOCKET",
